@@ -1,0 +1,105 @@
+"""Benchmark: full ICP alignment throughput on the flagship workload.
+
+Workload: complete LM solve (linearize → damped solve → re-cost, 15 outer
+iterations max) on the reference's 29,310-point LiDAR scan registration
+problem (reference tst/point2point.cpp) — the headline integration workload.
+
+The reference publishes no benchmark numbers (BASELINE.md); its execution
+environment is single-process CPU. `vs_baseline` therefore reports the
+speedup of the TPU path over the same engine on this machine's CPU backend
+(the reference's hardware class), same precision policy as each backend's
+production default (f32 TPU / f64 CPU-reference-parity).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import pathlib
+import time
+import sys
+
+import numpy as np
+
+
+def _make_problem(dtype, jnp):
+    from moptimizer_0_tpu.lie import se3
+    from moptimizer_0_tpu.models.point2point import point2point_block
+    from moptimizer_0_tpu.core.residual import Problem
+    from moptimizer_0_tpu.utils.pointcloud import load_txt_cloud
+
+    data_path = pathlib.Path(__file__).parent / "tests" / "data" / "fachada.txt"
+    if data_path.exists():
+        src = load_txt_cloud(data_path).astype(dtype)
+    else:
+        src = np.random.default_rng(0).uniform(0, 30, size=(29310, 3)).astype(dtype)
+    src = jnp.asarray(src)
+    x_true = jnp.asarray([10.5, 10.2, 0.1, 0.3, 0.4, 0.5], dtype=dtype)
+    T = se3.transform_from_params6(x_true)
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+    return Problem(blocks=(point2point_block(src, tgt),))
+
+
+def _time_solve(problem, x0, config, devices, jax, iters=20):
+    from moptimizer_0_tpu.core.solver import levenberg_marquardt
+
+    x0 = jax.device_put(x0, devices[0])
+    problem = jax.device_put(problem, devices[0])
+
+    def run():
+        return jax.block_until_ready(levenberg_marquardt(problem, x0, config).x)
+
+    run()  # warm-up compile
+    run()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from moptimizer_0_tpu.core.solver import LMConfig
+
+    accel = jax.devices()  # default backend: TPU under the driver
+    on_tpu = accel[0].platform != "cpu"
+
+    cfg_tpu = LMConfig(diff_mode="auto", linear_solver="cholesky", max_iterations=15)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    prob = _make_problem(np.float32 if on_tpu else np.float64, jnp)
+    x0 = jnp.zeros(6, dtype=dtype)
+    t_accel = _time_solve(prob, x0, cfg_tpu, accel, jax)
+    value = 1.0 / t_accel
+
+    # CPU reference-class baseline: same engine, CPU backend, f64 + the
+    # reference's finite-difference scheme (its only implemented path).
+    vs_baseline = None
+    try:
+        cpu = jax.devices("cpu")
+        with jax.default_device(cpu[0]):
+            prob_cpu = _make_problem(np.float64, jnp)
+            cfg_cpu = LMConfig(diff_mode="fd", max_iterations=15)
+            t_cpu = _time_solve(prob_cpu, jnp.zeros(6, dtype=jnp.float64), cfg_cpu, cpu, jax, iters=5)
+        vs_baseline = (1.0 / t_accel) / (1.0 / t_cpu)
+    except Exception as e:  # CPU backend unavailable — report raw throughput
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "icp_alignments_per_sec",
+                "value": round(value, 3),
+                "unit": "alignments/s (29310-pt cloud, full 15-iter LM solve)",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

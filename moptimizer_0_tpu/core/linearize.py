@@ -1,0 +1,218 @@
+"""Linearization: residual/Jacobian evaluation and Gauss-Newton accumulation.
+
+TPU-native replacement for the reference's hot loops
+(linearization.h:36-158). The per-index residual loop becomes a `vmap`;
+the H,b accumulation becomes one large matmul (MXU path):
+
+    H = Aᵀ B   with A = J reshaped (N·O, P), B = (w ⊙ ΣJ) reshaped (N·O, P)
+    b = Aᵀ (w ⊙ Σr)
+
+Derivative modes:
+* ``auto``     — true forward-mode AD (jax.jacfwd) through prepare_fn+residual_fn;
+* ``analytic`` — user-supplied jacobian_fn (reference f_df path,
+                 linearization.h:126-158);
+* ``fd``       — bit-faithful emulation of the reference's forward-difference
+                 scheme: per-coordinate step h_j = √ε·|x_j| (floor √ε),
+                 J[:, j] = (r(x + h_j e_j) − r(x)) / h_j
+                 (reference linearization.h:78-106).
+
+Reference semantics preserved exactly (SURVEY.md §2.4.2): the robust-loss
+weight and Σ affect only H,b; the returned cost is the unweighted
+Σ_valid ‖r‖², and compute_cost applies neither loss nor Σ
+(linearization.h:49-63).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _eval_residuals(block, state):
+    """Evaluate all residuals. Returns (r, valid): (N, O) and (N,)."""
+    if block.data is None:
+        out = block.residual_fn(state, None)
+        r, valid = _split_valid(out)
+        return r[None, :], valid[None]
+    out = jax.vmap(lambda d: _split_valid(block.residual_fn(state, d)))(block.data)
+    return out
+
+
+def _split_valid(out):
+    if isinstance(out, tuple):
+        r, valid = out
+        return jnp.atleast_1d(r), jnp.asarray(valid)
+    return jnp.atleast_1d(out), jnp.asarray(True)
+
+
+def _batched_residuals(block, x):
+    """r(x): full chain prepare_fn → residual_fn, batched. (N, O), (N,)."""
+    state = block.prepare_fn(x)
+    return _eval_residuals(block, state)
+
+
+def compute_cost(block_or_problem, x):
+    """Unweighted Σ_valid ‖r_i‖² (reference parallelComputeCost, linearization.h:49-63)."""
+    blocks = getattr(block_or_problem, "blocks", None)
+    if blocks is None:
+        blocks = (block_or_problem,)
+    total = jnp.zeros((), dtype=x.dtype)
+    for block in blocks:
+        r, valid = _batched_residuals(block, x)
+        total = total + jnp.sum(
+            valid.astype(x.dtype) * jnp.sum(r * r, axis=-1)
+        )
+    return total
+
+
+def _jacobian_fd(block, x, r0):
+    """Reference forward-difference Jacobian (linearization.h:78-106).
+
+    h_j = √ε·|x_j|, floored at √ε; each column from a full re-evaluation at
+    x + h_j e_j (the reference clones the model and re-runs setup — here the
+    whole prepare_fn+residual_fn chain re-traces, which is identical).
+    """
+    eps = jnp.finfo(x.dtype).eps
+    min_step = jnp.sqrt(eps)
+    h = min_step * jnp.abs(x)
+    h = jnp.where(h == 0.0, min_step, h)
+
+    def column(j):
+        x_plus = x.at[j].add(h[j])
+        r_plus, _ = _batched_residuals(block, x_plus)
+        return (r_plus - r0) / h[j]
+
+    # P is small and static: unrolled columns keep shapes static and let XLA
+    # batch the P+1 evaluations.
+    cols = [column(j) for j in range(x.shape[0])]
+    return jnp.stack(cols, axis=-1)  # (N, O, P)
+
+
+def _jacobian_auto(block, x):
+    """Forward-mode AD through the full chain; returns (N, O, P)."""
+    return jax.jacfwd(lambda xx: _batched_residuals(block, xx)[0])(x)
+
+
+def _jacobian_analytic(block, state):
+    if block.data is None:
+        return block.jacobian_fn(state, None)[None, ...]
+    return jax.vmap(lambda d: block.jacobian_fn(state, d))(block.data)
+
+
+def linearize(block_or_problem, x, mode="auto"):
+    """Accumulate the Gauss-Newton system over one block or a whole problem.
+
+    Returns (cost, H, b) with H = Σᵢ wᵢ JᵢᵀΣJᵢ, b = Σᵢ wᵢ JᵢᵀΣrᵢ and
+    cost = Σᵢ(valid) ‖rᵢ‖² (reference computeHessian[Numerical],
+    linearization.h:65-158). ``mode`` may be a string applied to all blocks
+    or a tuple of per-block strings.
+    """
+    blocks = getattr(block_or_problem, "blocks", None)
+    if blocks is None:
+        blocks = (block_or_problem,)
+    if isinstance(mode, str):
+        modes = (mode,) * len(blocks)
+    else:
+        modes = tuple(mode)
+
+    P = x.shape[0]
+    H = jnp.zeros((P, P), dtype=x.dtype)
+    b = jnp.zeros((P,), dtype=x.dtype)
+    cost = jnp.zeros((), dtype=x.dtype)
+    for block, m in zip(blocks, modes):
+        c_i, H_i, b_i = _linearize_block(block, x, m)
+        cost, H, b = cost + c_i, H + H_i, b + b_i
+    return cost, H, b
+
+
+def _linearize_block(block, x, mode):
+    state = block.prepare_fn(x)
+    r, valid = _eval_residuals(block, state)  # (N, O), (N,)
+
+    if mode == "analytic":
+        if block.jacobian_fn is None:
+            raise ValueError(f"block {block.name!r} has no jacobian_fn")
+        J = _jacobian_analytic(block, state)
+    elif mode == "fd":
+        J = _jacobian_fd(block, x, r)
+    elif mode == "auto":
+        J = _jacobian_auto(block, x)
+    else:
+        raise ValueError(f"unknown diff mode {mode!r}")
+
+    return _accumulate(block, x, r, valid, J)
+
+
+def _accumulate(block, x, r, valid, J):
+    """Fused H,b accumulation — one MXU matmul over the flattened (N·O) axis."""
+    N, O = r.shape
+    P = x.shape[0]
+    sq_norm = jnp.sum(r * r, axis=-1)  # (N,)
+    w = block.loss.weight(sq_norm) * valid.astype(x.dtype)  # (N,)
+
+    if block.weight_matrix is None:
+        SJ = J
+        Sr = r
+    else:
+        Sigma = jnp.asarray(block.weight_matrix, dtype=x.dtype)
+        SJ = jnp.einsum("oq,nqp->nop", Sigma, J)
+        Sr = r @ Sigma.T
+
+    A = J.reshape(N * O, P)
+    Bm = (w[:, None, None] * SJ).reshape(N * O, P)
+    H = A.T @ Bm
+    b = A.T @ (w[:, None] * Sr).reshape(N * O)
+    cost = jnp.sum(valid.astype(x.dtype) * sq_norm)
+    return cost, H, b
+
+
+def linearize_tangent(block_or_problem, x, retract_fn, mode="auto"):
+    """Linearize in the tangent space of a manifold: J wrt δ at δ = 0 of
+    r(retract(x, δ)). This is the manifold-aware path the reference left as
+    `// TODO Manifold operation` (src/levenberg_marquadt_dyn.cpp:82-83).
+
+    ``fd`` mode is not supported here (the reference's h = √ε·|x_j| scheme is
+    tied to direct Euclidean perturbation); use ``auto`` or ``analytic``.
+    """
+    blocks = getattr(block_or_problem, "blocks", None)
+    if blocks is None:
+        blocks = (block_or_problem,)
+    if isinstance(mode, str):
+        modes = (mode,) * len(blocks)
+    else:
+        modes = tuple(mode)
+
+    tangent_dim = retract_fn.tangent_dim if hasattr(retract_fn, "tangent_dim") else x.shape[0]
+    zero = jnp.zeros((tangent_dim,), dtype=x.dtype)
+
+    H = jnp.zeros((tangent_dim, tangent_dim), dtype=x.dtype)
+    b = jnp.zeros((tangent_dim,), dtype=x.dtype)
+    cost = jnp.zeros((), dtype=x.dtype)
+    for block, m in zip(blocks, modes):
+        state = block.prepare_fn(x)
+        r, valid = _eval_residuals(block, state)
+        if m == "analytic":
+            J = _jacobian_analytic(block, state)
+        else:
+            J = jax.jacfwd(
+                lambda d: _batched_residuals(block, retract_fn(x, d))[0]
+            )(zero)
+        c_i, H_i, b_i = _accumulate_tangent(block, x, r, valid, J, tangent_dim)
+        cost, H, b = cost + c_i, H + H_i, b + b_i
+    return cost, H, b
+
+
+def _accumulate_tangent(block, x, r, valid, J, P):
+    N, O = r.shape
+    sq_norm = jnp.sum(r * r, axis=-1)
+    w = block.loss.weight(sq_norm) * valid.astype(x.dtype)
+    if block.weight_matrix is None:
+        SJ, Sr = J, r
+    else:
+        Sigma = jnp.asarray(block.weight_matrix, dtype=x.dtype)
+        SJ = jnp.einsum("oq,nqp->nop", Sigma, J)
+        Sr = r @ Sigma.T
+    A = J.reshape(N * O, P)
+    H = A.T @ (w[:, None, None] * SJ).reshape(N * O, P)
+    b = A.T @ (w[:, None] * Sr).reshape(N * O)
+    return jnp.sum(valid.astype(x.dtype) * sq_norm), H, b

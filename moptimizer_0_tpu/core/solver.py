@@ -1,0 +1,276 @@
+"""Levenberg-Marquardt: jitted lax.while_loop with the reference's schedule.
+
+Re-implements the semantics of the reference solver
+(src/levenberg_marquadt_dyn.cpp:34-119) as a pure function over pytrees:
+
+outer loop (≤ max_iterations, default 15 — reference optimizer.h:19):
+    data ← update hooks;  (y0, H, b) ← Σ_blocks linearize
+    |y0| < 8ε  →  CONVERGED                       (optimizer.h:26-29)
+    λ < 0      →  λ = 1e-9 · max|diag H|          (src:16,67-68)
+    ν = 2
+    inner loop (≤ inner_iterations, default 3 — src:9):
+        δ  = solve(H + λ·diag(H), −b)             (src:78-80, Eigen LDLT)
+        xi = retract(x, δ)      — manifold-aware; Euclidean x+δ matches the
+                                  reference's `// TODO Manifold` update (src:82-83)
+        yi = Σ_blocks compute_cost(xi)            (src:86)
+        NaN yi → NUMERIC_ERROR                    (src:88-91)
+        ρ  = (y0 − yi) / δ·(λδ − b)               (src:93)
+        ρ < 0:  max|δ| < √ε → CONVERGED if |yi|<8ε else SMALL_DELTA (src:97-105)
+                else λ ← νλ, ν ← 2ν, retry        (src:107-108)
+        ρ ≥ 0:  accept x ← xi, λ ← λ·max(1/3, 1−(2ρ−1)³), break     (src:112-114)
+    → MAXIMUM_ITERATIONS_REACHED                  (src:118)
+
+λ persists across outer iterations (member in the reference); ν resets to 2
+each outer iteration (src:70). The per-iteration trace carries the same
+fields the reference logger prints (src:72-75,94-95).
+"""
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from moptimizer_0_tpu.core.linearize import (
+    compute_cost,
+    linearize,
+    linearize_tangent,
+)
+
+
+class Status(enum.IntEnum):
+    """Optimization status (values match reference types.h:6-12)."""
+
+    CONVERGED = 0
+    MAXIMUM_ITERATIONS_REACHED = 1
+    SMALL_DELTA = 2
+    NUMERIC_ERROR = 3
+    FATAL_ERROR = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Solver knobs with the reference's defaults (SURVEY.md §2.4.5)."""
+
+    max_iterations: int = 15  # reference optimizer.h:19
+    inner_iterations: int = 3  # reference src/levenberg_marquadt_dyn.cpp:9
+    init_lambda_factor: float = 1e-9  # src:16
+    diff_mode: Any = "auto"  # "auto" | "analytic" | "fd" | per-block tuple
+    linear_solver: str = "lu"  # "lu" | "cholesky"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LMResult:
+    x: jax.Array
+    status: jax.Array  # int32, a Status value
+    iterations: jax.Array  # executed outer iterations
+    cost: jax.Array  # final accumulated cost Σ‖r‖²
+    lam: jax.Array  # final damping
+    trace: dict  # per-outer-iteration records (fixed size max_iterations)
+
+
+def _solve_damped(H, diag_H, lam, b, method):
+    A = H + lam * jnp.diag(diag_H)
+    if method == "cholesky":
+        factor = jax.scipy.linalg.cho_factor(A)
+        return jax.scipy.linalg.cho_solve(factor, -b)
+    return jnp.linalg.solve(A, -b)
+
+
+def _retract(manifold, x, delta):
+    if manifold is None:
+        return x + delta
+    return manifold.retract(x, delta)
+
+
+def _linearize_all(problem, x, config, manifold):
+    if manifold is None:
+        return linearize(problem, x, mode=config.diff_mode)
+
+    retract_fn = lambda xx, dd: manifold.retract(xx, dd)  # noqa: E731
+    retract_fn.tangent_dim = manifold.tangent_dim
+    return linearize_tangent(problem, x, retract_fn, mode=config.diff_mode)
+
+
+def _outer_iteration(problem, x, lam, config, manifold):
+    """One outer LM iteration. Returns (x', λ', terminal, status', record)."""
+    dtype = x.dtype
+    eps = jnp.finfo(dtype).eps
+    sqrt_eps = jnp.sqrt(eps)
+    cost_small = lambda c: jnp.abs(c) < 8 * eps  # noqa: E731  (optimizer.h:26-29)
+
+    problem = problem.update(x)
+    y0, H, b = _linearize_all(problem, x, config, manifold)
+    diag_H = jnp.diagonal(H)
+
+    converged0 = cost_small(y0)
+    lam = jnp.where(
+        lam < 0.0, config.init_lambda_factor * jnp.max(jnp.abs(diag_H)), lam
+    )
+
+    inner0 = dict(
+        k=jnp.zeros((), jnp.int32),
+        x=x,
+        lam=lam,
+        nu=jnp.asarray(2.0, dtype),
+        y=y0,
+        rho=jnp.asarray(jnp.nan, dtype),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        stop=converged0,  # converged before inner loop → skip it
+        terminal=converged0,
+        accepted=jnp.asarray(False),
+    )
+
+    def inner_cond(s):
+        return (s["k"] < config.inner_iterations) & ~s["stop"]
+
+    def inner_body(s):
+        delta = _solve_damped(H, diag_H, s["lam"], b, config.linear_solver)
+        xi = _retract(manifold, x, delta)
+        yi = compute_cost(problem, xi)
+
+        is_nan = jnp.isnan(yi)
+        rho = (y0 - yi) / jnp.dot(delta, s["lam"] * delta - b)
+        small = jnp.max(jnp.abs(delta)) < sqrt_eps  # reference delta.h:12-16
+        reject = rho < 0.0  # NaN ρ falls through to accept, as in C++ (src:97)
+
+        accept = ~is_nan & ~reject
+        term_small = ~is_nan & reject & small
+        retry = ~is_nan & reject & ~small
+
+        status = jnp.where(
+            is_nan,
+            int(Status.NUMERIC_ERROR),
+            jnp.where(
+                term_small,
+                jnp.where(
+                    cost_small(yi), int(Status.CONVERGED), int(Status.SMALL_DELTA)
+                ),
+                s["status"],
+            ),
+        ).astype(jnp.int32)
+
+        gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        new_lam = jnp.where(
+            accept, s["lam"] * gain, jnp.where(retry, s["nu"] * s["lam"], s["lam"])
+        )
+        new_nu = jnp.where(retry, 2.0 * s["nu"], s["nu"])
+        terminal = is_nan | term_small
+
+        return dict(
+            k=s["k"] + 1,
+            x=jnp.where(accept, xi, s["x"]),
+            lam=new_lam,
+            nu=new_nu,
+            y=jnp.where(accept | terminal, yi, s["y"]),
+            rho=rho,
+            status=status,
+            stop=accept | terminal,
+            terminal=terminal,
+            accepted=accept,
+        )
+
+    inner = jax.lax.while_loop(inner_cond, inner_body, inner0)
+
+    terminal = converged0 | inner["terminal"]
+    status = jnp.where(
+        converged0, jnp.asarray(int(Status.CONVERGED), jnp.int32), inner["status"]
+    )
+    record = dict(
+        cost=y0,
+        cost_new=inner["y"],
+        rho=inner["rho"],
+        lam=inner["lam"],
+        nu=inner["nu"],
+        accepted=inner["accepted"],
+    )
+    return problem, inner["x"], inner["lam"], terminal, status, record
+
+
+@partial(jax.jit, static_argnames=("config", "manifold"))
+def _minimize_impl(problem, x0, config, manifold):
+    dtype = x0.dtype
+    n_it = config.max_iterations
+
+    trace0 = dict(
+        cost=jnp.full((n_it,), jnp.nan, dtype),
+        cost_new=jnp.full((n_it,), jnp.nan, dtype),
+        rho=jnp.full((n_it,), jnp.nan, dtype),
+        lam=jnp.full((n_it,), jnp.nan, dtype),
+        nu=jnp.full((n_it,), jnp.nan, dtype),
+        accepted=jnp.zeros((n_it,), bool),
+    )
+
+    carry0 = dict(
+        x=x0,
+        lam=jnp.asarray(-1.0, dtype),
+        problem=problem,
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        done=jnp.asarray(False),
+        trace=trace0,
+    )
+
+    def cond(c):
+        return (c["it"] < n_it) & ~c["done"]
+
+    def body(c):
+        problem, x, lam, terminal, status, record = _outer_iteration(
+            c["problem"], c["x"], c["lam"], config, manifold
+        )
+        trace = {
+            k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()
+        }
+        # executed_iterations_: not incremented on the iteration that returns
+        # (reference for-loop returns mid-body, src:34-119).
+        return dict(
+            x=x,
+            lam=lam,
+            problem=problem,
+            it=jnp.where(terminal, c["it"], c["it"] + 1),
+            status=status,
+            done=terminal,
+            trace=trace,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    final_cost = compute_cost(c["problem"], c["x"])
+    return LMResult(
+        x=c["x"],
+        status=c["status"],
+        iterations=c["it"],
+        cost=final_cost,
+        lam=c["lam"],
+        trace=c["trace"],
+    )
+
+
+def levenberg_marquardt(problem, x0, config=LMConfig(), manifold=None):
+    """Minimize a Problem (or single block) from x0. Fully jitted.
+
+    TPU-native equivalent of LevenbergMarquadtDynamic::minimize
+    (src/levenberg_marquadt_dyn.cpp:34-119). Returns an LMResult; x0 is
+    unchanged (the reference mutates it in place).
+    """
+    from moptimizer_0_tpu.core.residual import Problem
+
+    if not isinstance(problem, Problem):
+        problem = Problem(blocks=(problem,))
+    if len(problem.blocks) == 0:
+        raise ValueError("No cost function added!")  # reference optimizer.h:48-51
+    x0 = jnp.asarray(x0)
+    return _minimize_impl(problem, x0, config, manifold)
+
+
+@partial(jax.jit, static_argnames=("config", "manifold"))
+def lm_step(problem, x, lam, config=LMConfig(), manifold=None):
+    """One outer LM iteration: (problem', x', λ', terminal, status, record).
+
+    The reference's `step()` is a stub returning NUMERIC_ERROR
+    (src/levenberg_marquadt_dyn.cpp:29-31); here it is the real loop body.
+    Pass λ = −1 on the first call to trigger the λ-seed rule.
+    """
+    return _outer_iteration(problem, x, jnp.asarray(lam, x.dtype), config, manifold)

@@ -1,0 +1,152 @@
+"""SO(3): hat/vee, Rodrigues exp/log, left/right Jacobians.
+
+Functional equivalent of reference so3.cpp:43-155 (`Exp`, `Log`,
+`leftJacobian`, `rightJacobian`, `inverseRightJacobian`), re-derived for JAX:
+
+* small-angle handling uses Taylor expansions under `jnp.where` instead of
+  hard identity-matrix branches (reference so3.cpp:48,63: returns I when
+  θ ≤ 10ε) so every function stays differentiable at θ = 0;
+* the reference's left/right "Jacobians" (so3.cpp:128-155) drop the
+  (θ−sinθ)/θ³·K² term — we implement the full standard series (and therefore
+  agree with AD to machine precision, which the reference does not).
+"""
+
+import jax.numpy as jnp
+
+# Taylor switch-over: well inside the region where the 2-term Taylor series
+# is accurate to full precision for both f32 and f64.
+_SMALL = 1e-5
+
+
+def hat(w):
+    """Skew-symmetric matrix from a 3-vector (reference SKEW_SYMMETRIC_FROM, so3.h:4)."""
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(w0)
+    return jnp.stack(
+        [
+            jnp.stack([z, -w2, w1], axis=-1),
+            jnp.stack([w2, z, -w0], axis=-1),
+            jnp.stack([-w1, w0, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(W):
+    """Inverse of `hat`."""
+    return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+
+
+def _theta_sq(w):
+    return jnp.sum(w * w, axis=-1)
+
+
+def _safe_theta(t_sq):
+    """(small, t_safe): t_safe = √t_sq clamped away from 0 so its gradient is
+    finite — `jnp.where` alone does not stop NaN cotangents from the untaken
+    branch (sqrt'(0) = ∞)."""
+    small = t_sq < _SMALL * _SMALL
+    t_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(t_sq), t_sq))
+    return small, t_safe
+
+
+def _sin_t_over_t(t_sq):
+    # sin(θ)/θ, Taylor: 1 − θ²/6 + θ⁴/120
+    small, t = _safe_theta(t_sq)
+    return jnp.where(small, 1.0 - t_sq / 6.0 + t_sq * t_sq / 120.0, jnp.sin(t) / t)
+
+
+def _one_minus_cos_over_t_sq(t_sq):
+    # (1 − cos θ)/θ², Taylor: 1/2 − θ²/24 + θ⁴/720
+    small, t = _safe_theta(t_sq)
+    return jnp.where(small, 0.5 - t_sq / 24.0 + t_sq * t_sq / 720.0, (1.0 - jnp.cos(t)) / (t * t))
+
+
+def _t_minus_sin_over_t_cubed(t_sq):
+    # (θ − sin θ)/θ³, Taylor: 1/6 − θ²/120 + θ⁴/5040
+    small, t = _safe_theta(t_sq)
+    return jnp.where(
+        small, 1.0 / 6.0 - t_sq / 120.0 + t_sq * t_sq / 5040.0, (t - jnp.sin(t)) / (t * t * t)
+    )
+
+
+def exp(w):
+    """Rodrigues: R = I + sin(θ)/θ·K + (1−cos θ)/θ²·K², K = hat(w).
+
+    Matches reference so3::Exp (so3.cpp:43-75) away from θ≈0; at small θ uses
+    the Taylor form instead of snapping to identity.
+    """
+    t_sq = _theta_sq(w)
+    K = hat(w)
+    K2 = K @ K
+    a = _sin_t_over_t(t_sq)[..., None, None]
+    b = _one_minus_cos_over_t_sq(t_sq)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a * K + b * K2
+
+
+def log(R):
+    """Axis-angle from rotation matrix (reference so3::Log, so3.cpp:96-105).
+
+    w = θ/(2 sin θ) · vee(R − Rᵀ), with a Taylor branch near θ = 0.
+    """
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
+    small = cos_t > 1.0 - 1e-7  # θ ≲ 4.5e-4
+    # arccos has infinite slope at ±1: clamp its argument away from 1 on the
+    # small branch so the untaken branch cannot emit NaN cotangents.
+    cos_safe = jnp.where(small, jnp.zeros_like(cos_t), cos_t)
+    t = jnp.arccos(cos_safe)
+    K = vee(R - jnp.swapaxes(R, -1, -2))
+    # θ/(2 sin θ): Taylor 1/2 + θ²/12 + 7θ⁴/720; on the small branch use
+    # θ² ≈ 2(1 − cos θ) ≈ ‖K‖²/4 which is exact enough below the threshold.
+    t_sq_small = 2.0 * (1.0 - jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+    factor = jnp.where(
+        small,
+        0.5 + t_sq_small / 12.0,
+        0.5 * t / jnp.where(small, jnp.ones_like(t), jnp.sin(t)),
+    )
+    return factor[..., None] * K
+
+
+def left_jacobian(w):
+    """Full SO(3) left Jacobian: J_l = I + (1−cosθ)/θ²·K + (θ−sinθ)/θ³·K².
+
+    d/dw [exp(w)·v] = −hat(exp(w)·v) · J_l(w).
+    (The reference's leftJacobian, so3.cpp:146-155, truncates after the K
+    term; we keep the full series — exact, AD-consistent.)
+    """
+    t_sq = _theta_sq(w)
+    K = hat(w)
+    K2 = K @ K
+    b = _one_minus_cos_over_t_sq(t_sq)[..., None, None]
+    c = _t_minus_sin_over_t_cubed(t_sq)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + b * K + c * K2
+
+
+def right_jacobian(w):
+    """Full SO(3) right Jacobian: J_r(w) = J_l(−w) (cf. reference so3.cpp:128-143)."""
+    return left_jacobian(-w)
+
+
+def inverse_left_jacobian(w):
+    """J_l⁻¹ = I − K/2 + (1/θ² − (1+cosθ)/(2θ sinθ))·K²  (cf. so3.cpp:108-125)."""
+    t_sq = _theta_sq(w)
+    small, t = _safe_theta(t_sq)
+    K = hat(w)
+    K2 = K @ K
+    safe_t_sq = jnp.where(small, jnp.ones_like(t_sq), t_sq)
+    # 1/θ² − (1+cosθ)/(2θ sinθ), Taylor: 1/12 + θ²/720 + θ⁴/30240
+    factor = jnp.where(
+        small,
+        1.0 / 12.0 + t_sq / 720.0 + t_sq * t_sq / 30240.0,
+        1.0 / safe_t_sq - (1.0 + jnp.cos(t)) / (2.0 * t * jnp.sin(t)),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye - 0.5 * K + factor[..., None, None] * K2
+
+
+def inverse_right_jacobian(w):
+    """J_r⁻¹(w) = J_l⁻¹(−w)."""
+    return inverse_left_jacobian(-w)

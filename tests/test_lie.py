@@ -1,0 +1,115 @@
+"""Lie-group unit tests: round trips, Jacobian-vs-AD, reference-formula parity.
+
+Mirrors the correctness strategy of reference tst/manifold.cpp and the
+so3 usage throughout the reference test suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moptimizer_0_tpu import lie
+from moptimizer_0_tpu.lie import so3
+
+
+RNG = np.random.default_rng(0)
+SAMPLES = [
+    np.zeros(3),
+    np.array([1e-9, 0, 0]),
+    np.array([1e-6, -1e-7, 1e-6]),
+    np.array([0.02, 0.0, 0.0]),
+    np.array([0.3, 0.4, 0.5]),
+    np.array([-1.2, 0.7, 2.0]),
+    RNG.normal(size=3),
+]
+
+
+@pytest.mark.parametrize("w", SAMPLES, ids=range(len(SAMPLES)))
+def test_exp_log_roundtrip(w):
+    w = jnp.asarray(w, dtype=jnp.float64)
+    R = so3.exp(w)
+    # R is a rotation
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+    w_back = so3.log(R)
+    np.testing.assert_allclose(w_back, w, atol=1e-9)
+
+
+def test_exp_matches_rodrigues_reference_form():
+    """Parity with reference so3::Exp (src/so3.cpp:59-75): Rodrigues formula."""
+    w = jnp.array([0.3, 0.4, 0.5], dtype=jnp.float64)
+    t = float(jnp.linalg.norm(w))
+    axis = np.asarray(w) / t
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    expected = np.eye(3) + np.sin(t) * K + (1 - np.cos(t)) * K @ K
+    np.testing.assert_allclose(so3.exp(w), expected, atol=1e-14)
+
+
+@pytest.mark.parametrize("w", SAMPLES, ids=range(len(SAMPLES)))
+def test_left_jacobian_vs_ad(w):
+    """d/dw [exp(w)·v] = −hat(exp(w)v)·J_l(w): check J_l against jacfwd."""
+    w = jnp.asarray(w, dtype=jnp.float64)
+    v = jnp.array([0.0, 0.0, 9.81], dtype=jnp.float64)
+    J_ad = jax.jacfwd(lambda x: so3.exp(x) @ v)(w)
+    J_formula = -so3.hat(so3.exp(w) @ v) @ so3.left_jacobian(w)
+    np.testing.assert_allclose(J_ad, J_formula, atol=1e-9)
+
+
+@pytest.mark.parametrize("w", SAMPLES, ids=range(len(SAMPLES)))
+def test_jacobian_inverses(w):
+    w = jnp.asarray(w, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        so3.left_jacobian(w) @ so3.inverse_left_jacobian(w), np.eye(3), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        so3.right_jacobian(w) @ so3.inverse_right_jacobian(w), np.eye(3), atol=1e-9
+    )
+
+
+def test_right_left_relation():
+    w = jnp.asarray([0.3, -0.2, 0.9], dtype=jnp.float64)
+    np.testing.assert_allclose(so3.right_jacobian(w), so3.left_jacobian(-w), atol=1e-14)
+    # J_r = J_lᵀ
+    np.testing.assert_allclose(so3.right_jacobian(w), so3.left_jacobian(w).T, atol=1e-12)
+
+
+def test_transform_from_params6_reference_convention():
+    """Parity with so3::convert6DOFParameterToMatrix (src/so3.cpp:7-19)."""
+    x = jnp.array([10.5, 10.2, 0.1, 0.3, 0.4, 0.5], dtype=jnp.float64)
+    T = lie.transform_from_params6(x)
+    np.testing.assert_allclose(T[:3, 3], x[:3], atol=0)
+    np.testing.assert_allclose(T[:3, :3], so3.exp(x[3:]), atol=0)
+    np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=0)
+
+
+def test_se3_exp_log_roundtrip():
+    xi = jnp.array([0.1, -0.4, 2.0, 0.3, 0.4, 0.5], dtype=jnp.float64)
+    T = lie.se3_exp(xi)
+    np.testing.assert_allclose(lie.se3_log(T), xi, atol=1e-10)
+
+
+def test_apply_transform():
+    x = jnp.array([1.0, 2.0, 3.0, 0.2, 0.2, 0.2], dtype=jnp.float64)
+    T = lie.transform_from_params6(x)
+    pts = jnp.asarray(RNG.normal(size=(17, 3)))
+    expected = (np.asarray(T[:3, :3]) @ np.asarray(pts).T).T + np.asarray(T[:3, 3])
+    np.testing.assert_allclose(lie.apply_transform(T, pts), expected, atol=1e-12)
+
+
+def test_batched_exp():
+    ws = jnp.asarray(RNG.normal(size=(32, 3)))
+    Rs = so3.exp(ws)
+    assert Rs.shape == (32, 3, 3)
+    for i in range(4):
+        np.testing.assert_allclose(Rs[i], so3.exp(ws[i]), atol=1e-14)
+
+
+def test_grad_through_exp_at_zero():
+    """Small-angle branches must be AD-safe at exactly θ = 0."""
+    g = jax.grad(lambda w: jnp.sum(so3.exp(w)))(jnp.zeros(3, dtype=jnp.float64))
+    assert np.all(np.isfinite(g))
+    g2 = jax.grad(lambda w: jnp.sum(so3.left_jacobian(w)))(jnp.zeros(3, dtype=jnp.float64))
+    assert np.all(np.isfinite(g2))
