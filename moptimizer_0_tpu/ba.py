@@ -1,0 +1,377 @@
+"""Schur-complement bundle adjustment — the scale workload of the engine.
+
+The reference stops at a 5-point camera-calibration reprojection test
+(tst/camera_calibration.cpp); this module is the production-scale extension
+its roadmap implies (BASELINE.json north star): joint refinement of C camera
+poses and L landmarks from O pixel observations.
+
+TPU-first structure (no sparse matrices, no dynamic shapes):
+
+* residuals + per-observation Jacobians A_o = ∂r/∂cam (2×6),
+  B_o = ∂r/∂pt (2×3) — one vmapped jacfwd over the observation axis;
+* Gauss-Newton blocks via segment_sum:
+      U_c = Σ AᵀA (C,6,6),  V_l = Σ BᵀB (L,3,3),  W_o = AᵀB (O,6,3)
+* landmark elimination by the Schur complement, applied **matrix-free**:
+      S u = U' u − Σ_o W_o · V'⁻¹ · (Σ_o W_oᵀ u)
+  evaluated with gathers + segment_sums (all MXU/VPU-friendly batched ops),
+  solved by preconditioned CG (block-Jacobi U'⁻¹) — S is never materialized,
+  so memory is O(C + L + O) regardless of camera-graph density;
+* back-substitution δl = V'⁻¹ (h − Wᵀ δc) per landmark;
+* the same LM λ/ν/ρ schedule as core.solver (reference
+  src/levenberg_marquadt_dyn.cpp:67-114) over the joint state.
+
+Sharding: every per-observation array (cam_idx, pt_idx, pixels) can be
+device_put along the observation axis; the segment_sums then reduce over ICI
+under GSPMD — the distributed-BA layout of SURVEY.md §2.3.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from moptimizer_0_tpu.core.solver import Status
+from moptimizer_0_tpu.lie import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BAProblem:
+    """State + data of a bundle-adjustment problem.
+
+    camera_params: (C, 6) poses [t, ω] (reference params6 convention,
+        src/so3.cpp:7-19), world→camera.
+    points: (L, 3) landmarks.
+    cam_idx, pt_idx: (O,) observation incidence.
+    pixels: (O, 2) measured projections.
+    intrinsics: (4,) [fx, fy, cx, cy] shared pinhole intrinsics.
+    n_fixed_cameras: gauge fixing — deltas of the first k cameras are zeroed
+        (static field).
+    """
+
+    camera_params: jax.Array
+    points: jax.Array
+    cam_idx: jax.Array
+    pt_idx: jax.Array
+    pixels: jax.Array
+    intrinsics: jax.Array
+    n_fixed_cameras: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    max_iterations: int = 15
+    inner_iterations: int = 3
+    init_lambda_factor: float = 1e-9
+    cg_iterations: int = 50
+    cg_tol: float = 1e-8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BAResult:
+    camera_params: jax.Array
+    points: jax.Array
+    status: jax.Array
+    iterations: jax.Array
+    cost: jax.Array
+    trace: dict
+
+
+def _project(cam, point, intr):
+    """Pinhole projection of a world point through a params6 pose."""
+    T = se3.transform_from_params6(cam)
+    pc = T[:3, :3] @ point + T[:3, 3]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    z = pc[2]
+    return jnp.stack([fx * pc[0] / z + cx, fy * pc[1] / z + cy])
+
+
+def _residual(cam, point, pixel, intr):
+    return pixel - _project(cam, point, intr)
+
+
+def residuals_all(problem):
+    """(O, 2) residual array."""
+    cams = problem.camera_params[problem.cam_idx]
+    pts = problem.points[problem.pt_idx]
+    return jax.vmap(_residual, (0, 0, 0, None))(
+        cams, pts, problem.pixels, problem.intrinsics
+    )
+
+
+def compute_cost(problem):
+    r = residuals_all(problem)
+    return jnp.sum(r * r)
+
+
+def _linearize(problem):
+    """Per-observation residuals and Jacobians (r, A (O,2,6), B (O,2,3))."""
+    cams = problem.camera_params[problem.cam_idx]
+    pts = problem.points[problem.pt_idx]
+
+    def rj(cam, pt, pix):
+        r = _residual(cam, pt, pix, problem.intrinsics)
+        A = jax.jacfwd(_residual, argnums=0)(cam, pt, pix, problem.intrinsics)
+        B = jax.jacfwd(_residual, argnums=1)(cam, pt, pix, problem.intrinsics)
+        return r, A, B
+
+    return jax.vmap(rj)(cams, pts, problem.pixels)
+
+
+def _gn_blocks(problem, r, A, B):
+    """Segment-summed Gauss-Newton blocks."""
+    C = problem.camera_params.shape[0]
+    L = problem.points.shape[0]
+    U = jax.ops.segment_sum(
+        jnp.einsum("oij,oik->ojk", A, A), problem.cam_idx, num_segments=C
+    )  # (C,6,6)
+    V = jax.ops.segment_sum(
+        jnp.einsum("oij,oik->ojk", B, B), problem.pt_idx, num_segments=L
+    )  # (L,3,3)
+    W = jnp.einsum("oij,oik->ojk", A, B)  # (O,6,3)
+    g = jax.ops.segment_sum(
+        jnp.einsum("oij,oi->oj", A, r), problem.cam_idx, num_segments=C
+    )  # (C,6)
+    h = jax.ops.segment_sum(
+        jnp.einsum("oij,oi->oj", B, r), problem.pt_idx, num_segments=L
+    )  # (L,3)
+    return U, V, W, g, h
+
+
+def _damp_blocks(M, lam):
+    d = jnp.diagonal(M, axis1=-2, axis2=-1)  # (..., k)
+    return M + lam * jax.vmap(jnp.diag)(d)
+
+
+def _schur_matvec(u, U_d, W, Vinv, cam_idx, pt_idx, C, L, cam_mask):
+    """S·u with S = U' − W V'⁻¹ Wᵀ, matrix-free. u: (C,6)."""
+    u = u * cam_mask  # fixed cameras contribute nothing
+    Uu = jnp.einsum("cij,cj->ci", U_d, u)  # (C,6)
+    Wu = jnp.einsum("oji,oj->oi", W, u[cam_idx])  # (O,3): W_oᵀ u_cam(o)
+    t = jax.ops.segment_sum(Wu, pt_idx, num_segments=L)  # (L,3)
+    s = jnp.einsum("lij,lj->li", Vinv, t)  # (L,3)
+    back = jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", W, s[pt_idx]), cam_idx, num_segments=C
+    )  # (C,6)
+    return (Uu - back) * cam_mask
+
+
+def _pcg(matvec, b, Minv_mv, iters, tol):
+    """Preconditioned conjugate gradients on the camera system."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = Minv_mv(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), jnp.finfo(b.dtype).tiny)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv_mv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < iters) & (jnp.vdot(r, r) > tol * tol)
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x
+
+
+def _solve_delta(problem, U, V, W, g, h, lam, config):
+    """One damped Gauss-Newton solve: returns (δcam (C,6), δpt (L,3))."""
+    C = problem.camera_params.shape[0]
+    L = problem.points.shape[0]
+    dtype = problem.camera_params.dtype
+
+    U_d = _damp_blocks(U, lam)
+    V_d = _damp_blocks(V, lam)
+    Vinv = jnp.linalg.inv(
+        V_d + 1e-12 * jnp.eye(3, dtype=dtype)
+    )  # (L,3,3) tiny blocks
+
+    cam_mask = (
+        (jnp.arange(C) >= problem.n_fixed_cameras).astype(dtype)[:, None]
+    )  # (C,1)
+
+    # rhs = −(g − W V'⁻¹ h)  (we solve for δ with H δ = −b convention, src:80)
+    t = jnp.einsum("lij,lj->li", Vinv, h)
+    rhs = -(g - jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", W, t[problem.pt_idx]),
+        problem.cam_idx,
+        num_segments=C,
+    ))
+    rhs = rhs * cam_mask
+
+    # block-Jacobi preconditioner from U'
+    U_inv = jnp.linalg.inv(U_d + 1e-12 * jnp.eye(6, dtype=dtype))
+
+    def mv(u):
+        return _schur_matvec(
+            u.reshape(C, 6), U_d, W, Vinv, problem.cam_idx, problem.pt_idx, C, L, cam_mask
+        ).reshape(-1)
+
+    def pre(u):
+        return (jnp.einsum("cij,cj->ci", U_inv, u.reshape(C, 6)) * cam_mask).reshape(-1)
+
+    d_cam = _pcg(mv, rhs.reshape(-1), pre, config.cg_iterations, config.cg_tol).reshape(C, 6)
+    d_cam = d_cam * cam_mask
+
+    # back-substitute landmarks: δl = V'⁻¹ (−h − Wᵀ δcam)
+    Wtd = jax.ops.segment_sum(
+        jnp.einsum("oji,oj->oi", W, d_cam[problem.cam_idx]),
+        problem.pt_idx,
+        num_segments=L,
+    )
+    d_pt = jnp.einsum("lij,lj->li", Vinv, -h - Wtd)
+    return d_cam, d_pt
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_ba(problem, config=BAConfig()):
+    """LM over (cameras, landmarks) with Schur-eliminated inner solves.
+
+    Follows the reference LM schedule exactly (λ seed 1e-9·max diag,
+    ρ accept/reject, λ·ν backoff — src/levenberg_marquadt_dyn.cpp:67-114)
+    with the damped solve replaced by Schur-CG."""
+    dtype = problem.camera_params.dtype
+    eps = jnp.finfo(dtype).eps
+    n_it = config.max_iterations
+
+    trace0 = dict(
+        cost=jnp.full((n_it,), jnp.nan, dtype),
+        cost_new=jnp.full((n_it,), jnp.nan, dtype),
+        rho=jnp.full((n_it,), jnp.nan, dtype),
+        lam=jnp.full((n_it,), jnp.nan, dtype),
+    )
+
+    def replace_state(problem, cams, pts):
+        return dataclasses.replace(problem, camera_params=cams, points=pts)
+
+    def outer_body(c):
+        prob = c["problem"]
+        r, A, B = _linearize(prob)
+        U, V, W, g, h = _gn_blocks(prob, r, A, B)
+        y0 = jnp.sum(r * r)
+
+        converged0 = jnp.abs(y0) < 8 * eps
+        max_diag = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
+            jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
+        )
+        lam = jnp.where(c["lam"] < 0.0, config.init_lambda_factor * max_diag, c["lam"])
+
+        inner0 = dict(
+            k=jnp.zeros((), jnp.int32),
+            cams=prob.camera_params,
+            pts=prob.points,
+            lam=lam,
+            nu=jnp.asarray(2.0, dtype),
+            y=y0,
+            rho=jnp.asarray(jnp.nan, dtype),
+            status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+            stop=converged0,
+            terminal=converged0,
+        )
+
+        def inner_cond(s):
+            return (s["k"] < config.inner_iterations) & ~s["stop"]
+
+        def inner_body(s):
+            d_cam, d_pt = _solve_delta(prob, U, V, W, g, h, s["lam"], config)
+            cams_i = prob.camera_params + d_cam
+            pts_i = prob.points + d_pt
+            yi = compute_cost(replace_state(prob, cams_i, pts_i))
+
+            is_nan = jnp.isnan(yi)
+            # ρ denominator: δ·(λδ − b) with b = (g, h) stacked (src:93)
+            delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
+            b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+            denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
+            rho = (y0 - yi) / denom
+            small = jnp.max(jnp.abs(delta_flat)) < jnp.sqrt(eps)
+            reject = rho < 0.0
+            accept = ~is_nan & ~reject
+            term_small = ~is_nan & reject & small
+            retry = ~is_nan & reject & ~small
+
+            status = jnp.where(
+                is_nan,
+                int(Status.NUMERIC_ERROR),
+                jnp.where(
+                    term_small,
+                    jnp.where(
+                        jnp.abs(yi) < 8 * eps,
+                        int(Status.CONVERGED),
+                        int(Status.SMALL_DELTA),
+                    ),
+                    s["status"],
+                ),
+            ).astype(jnp.int32)
+
+            gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            return dict(
+                k=s["k"] + 1,
+                cams=jnp.where(accept, cams_i, s["cams"]),
+                pts=jnp.where(accept, pts_i, s["pts"]),
+                lam=jnp.where(
+                    accept, s["lam"] * gain, jnp.where(retry, s["nu"] * s["lam"], s["lam"])
+                ),
+                nu=jnp.where(retry, 2.0 * s["nu"], s["nu"]),
+                y=jnp.where(accept | is_nan | term_small, yi, s["y"]),
+                rho=rho,
+                status=status,
+                stop=accept | is_nan | term_small,
+                terminal=is_nan | term_small,
+            )
+
+        inner = jax.lax.while_loop(inner_cond, inner_body, inner0)
+        terminal = converged0 | inner["terminal"]
+        status = jnp.where(
+            converged0, jnp.asarray(int(Status.CONVERGED), jnp.int32), inner["status"]
+        )
+        trace = dict(
+            cost=c["trace"]["cost"].at[c["it"]].set(y0),
+            cost_new=c["trace"]["cost_new"].at[c["it"]].set(inner["y"]),
+            rho=c["trace"]["rho"].at[c["it"]].set(inner["rho"]),
+            lam=c["trace"]["lam"].at[c["it"]].set(inner["lam"]),
+        )
+        return dict(
+            problem=replace_state(prob, inner["cams"], inner["pts"]),
+            lam=inner["lam"],
+            it=jnp.where(terminal, c["it"], c["it"] + 1),
+            status=status,
+            done=terminal,
+            trace=trace,
+        )
+
+    carry0 = dict(
+        problem=problem,
+        lam=jnp.asarray(-1.0, dtype),
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        done=jnp.asarray(False),
+        trace=trace0,
+    )
+
+    def cond(c):
+        return (c["it"] < n_it) & ~c["done"]
+
+    c = jax.lax.while_loop(cond, outer_body, carry0)
+    prob = c["problem"]
+    return BAResult(
+        camera_params=prob.camera_params,
+        points=prob.points,
+        status=c["status"],
+        iterations=c["it"],
+        cost=compute_cost(prob),
+        trace=c["trace"],
+    )

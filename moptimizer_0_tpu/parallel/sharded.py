@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from moptimizer_0_tpu.core.linearize import _linearize_block, _batched_residuals
 from moptimizer_0_tpu.core.solver import LMConfig, levenberg_marquardt
