@@ -59,6 +59,7 @@ class LMConfig:
     init_lambda_factor: float = 1e-9  # src:16
     diff_mode: Any = "auto"  # "auto" | "analytic" | "fd" | per-block tuple
     linear_solver: str = "lu"  # "lu" | "cholesky"
+    verbose: bool = False  # live per-iteration debug lines (reference L_DEBUG)
 
 
 @jax.tree_util.register_dataclass
@@ -140,6 +141,20 @@ def _outer_iteration(problem, x, lam, config, manifold):
         accept = ~is_nan & ~reject
         term_small = ~is_nan & reject & small
         retry = ~is_nan & reject & ~small
+
+        if config.verbose:
+            # mirrors "it | max | prev_cost | new_cost | rho | lambda | nu"
+            # (reference src/levenberg_marquadt_dyn.cpp:72-75,94-95)
+            jax.debug.print(
+                "[DEBUG] lm inner: {k}/{m} {y0} {yi} {rho} {lam} {nu}",
+                k=s["k"] + 1,
+                m=config.inner_iterations,
+                y0=y0,
+                yi=yi,
+                rho=rho,
+                lam=s["lam"],
+                nu=s["nu"],
+            )
 
         status = jnp.where(
             is_nan,

@@ -1,0 +1,73 @@
+"""Utilities: covariance recovery, trace formatting, verbose logging, IO."""
+
+import io
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from moptimizer_0_tpu import LMConfig, levenberg_marquardt
+from moptimizer_0_tpu.core.covariance import estimate_covariance
+from moptimizer_0_tpu.core.residual import problem
+from moptimizer_0_tpu.models.rational import SIMPLE_X, SIMPLE_Y, rational_block
+from moptimizer_0_tpu.utils.logging import Logger, L_DEBUG, L_ERROR, format_trace
+from moptimizer_0_tpu.utils.pointcloud import load_txt_cloud
+from moptimizer_0_tpu.utils.stopwatch import Stopwatch, time_jitted
+
+
+def test_covariance_recovery_matches_manual():
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    res = levenberg_marquardt(problem(blk), jnp.array([0.9, 0.2]), LMConfig())
+    cov = estimate_covariance(problem(blk), res.x)
+    from moptimizer_0_tpu.core.linearize import linearize
+
+    _, H, _ = linearize(problem(blk), res.x)
+    np.testing.assert_allclose(cov, np.linalg.inv(np.asarray(H)), rtol=1e-10)
+    # scaled version is PSD and smaller for a good fit
+    cov_s = estimate_covariance(problem(blk), res.x, scale_by_residual=True)
+    assert np.all(np.linalg.eigvalsh(np.asarray(cov_s)) > 0)
+
+
+def test_format_trace_renders():
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    res = levenberg_marquardt(problem(blk), jnp.array([0.9, 0.2]), LMConfig())
+    text = format_trace(res)
+    assert "prev_cost" in text and "|" in text
+    assert len(text.splitlines()) >= 2
+
+
+def test_logger_levels_and_sinks():
+    buf = io.StringIO()
+    log = Logger(sink=buf, level=L_ERROR, name="Optimizer")
+    log.log(L_DEBUG, "hidden")
+    log.log(L_ERROR, "shown", 42)
+    out = buf.getvalue()
+    assert "hidden" not in out
+    assert "[ERROR] moptimizer::Optimizer:: shown 42" in out
+    buf2 = io.StringIO()
+    log.add_sink(buf2)
+    log.log(L_ERROR, "both")
+    assert "both" in buf.getvalue() and "both" in buf2.getvalue()
+
+
+def test_verbose_solver_runs():
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    res = levenberg_marquardt(
+        problem(blk), jnp.array([0.9, 0.2]), LMConfig(verbose=True)
+    )
+    assert np.isfinite(float(res.cost))
+
+
+def test_stopwatch():
+    sw = Stopwatch()
+    sw.tick()
+    assert sw.tock() >= 0.0
+    t = time_jitted(lambda x: x * 2, jnp.ones(8), iters=3, warmup=1)
+    assert t >= 0.0
+
+
+def test_cloud_loader():
+    data = pathlib.Path(__file__).parent / "data" / "fachada.txt"
+    pts = load_txt_cloud(data)
+    assert pts.shape == (29310, 3)
+    assert np.isfinite(pts).all()
