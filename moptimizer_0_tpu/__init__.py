@@ -15,6 +15,14 @@ C++ library (Ceres-style Levenberg-Marquardt over user residual models,
   (replacing TBB parallel_reduce, reference linearization.h:49-63).
 """
 
+import jax as _jax
+
+# TPU f32 matmuls default to bf16 passes (~8-bit mantissa) — catastrophic for
+# geometric residuals: ICP stalls at ~1e-2 instead of converging to 1e-7.
+# The matmuls in this domain are tiny-K (3/6-dim contractions) where full
+# f32 precision costs nothing, so make it the library default.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from moptimizer_0_tpu.core.loss import (
     Cauchy,
     GemanMcClure,

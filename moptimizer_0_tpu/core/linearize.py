@@ -126,6 +126,8 @@ def linearize(block_or_problem, x, mode="auto"):
 
 
 def _linearize_block(block, x, mode):
+    if mode == "auto" and block.linearize_fn is not None:
+        return block.linearize_fn(block, x)
     state = block.prepare_fn(x)
     r, valid = _eval_residuals(block, state)  # (N, O), (N,)
 

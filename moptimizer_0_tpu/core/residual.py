@@ -72,6 +72,9 @@ class ResidualBlock:
     update_fn: Optional[Callable] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    linearize_fn: Optional[Callable] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )  # optional fused fast path: (block, x) -> (cost, H, b); used for mode="auto"
     name: str = dataclasses.field(default="block", metadata=dict(static=True))
 
     def update(self, x):
@@ -90,6 +93,7 @@ def make_block(
     prepare_fn=_identity_prepare,
     jacobian_fn=None,
     update_fn=None,
+    linearize_fn=None,
     name="block",
 ):
     """Convenience constructor with a TrivialLoss default (reference
@@ -104,6 +108,7 @@ def make_block(
         prepare_fn=prepare_fn,
         jacobian_fn=jacobian_fn,
         update_fn=update_fn,
+        linearize_fn=linearize_fn,
         name=name,
     )
 

@@ -13,6 +13,15 @@ import jax.numpy as jnp
 from moptimizer_0_tpu.lie import so3
 
 
+def _assemble_rt(R, t):
+    """[[R, t], [0, 0, 0, 1]] without scatter ops (Pallas-lowerable)."""
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    one = jnp.ones_like(t[..., :1])
+    zero = jnp.zeros_like(t)
+    bottom = jnp.concatenate([zero, one], axis=-1)[..., None, :]
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def transform_from_params6(x):
     """x = [tx ty tz wx wy wz] → 4×4 homogeneous transform.
 
@@ -21,9 +30,7 @@ def transform_from_params6(x):
     """
     R = so3.exp(x[..., 3:6])
     t = x[..., 0:3]
-    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
-    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
-    return jnp.concatenate([top, bottom], axis=-2)
+    return _assemble_rt(R, t)
 
 
 def rotation_from_params3(x):
@@ -43,9 +50,7 @@ def se3_exp(xi):
     rho, w = xi[..., 0:3], xi[..., 3:6]
     R = so3.exp(w)
     t = jnp.einsum("...ij,...j->...i", so3.left_jacobian(w), rho)
-    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
-    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
-    return jnp.concatenate([top, bottom], axis=-2)
+    return _assemble_rt(R, t)
 
 
 def se3_log(T):

@@ -34,13 +34,24 @@ def _jacobian(T, data_i):
     return jnp.concatenate([eye, -so3.hat(src)], axis=-1)
 
 
-def point2point_block(src, tgt, *, analytic=False, loss=None, weight_matrix=None, update_fn=None):
+def point2point_block(
+    src, tgt, *, analytic=False, fused=True, loss=None, weight_matrix=None, update_fn=None
+):
     """Block over N index-aligned correspondences src[i] ↔ tgt[i].
 
     ``update_fn`` slots in correspondence search (the reference reserves its
     `update()` hook for exactly this, docs/Cost.puml) — see
     moptimizer_0_tpu.registration for the NN-search driver.
+
+    ``fused=True`` (default, identity Σ only) linearizes through the
+    closed-form moment path (ops/icp_linearize.py) — no (N,3,6) Jacobian
+    tensor, one HBM pass — used automatically for mode="auto".
     """
+    linearize_fn = None
+    if fused and weight_matrix is None:
+        from moptimizer_0_tpu.ops.icp_linearize import fused_point2point_linearizer
+
+        linearize_fn = fused_point2point_linearizer
     data = dict(src=jnp.asarray(src), tgt=jnp.asarray(tgt))
     return make_block(
         _residual,
@@ -50,5 +61,6 @@ def point2point_block(src, tgt, *, analytic=False, loss=None, weight_matrix=None
         loss=loss,
         weight_matrix=weight_matrix,
         update_fn=update_fn,
+        linearize_fn=linearize_fn,
         name="point2point",
     )

@@ -64,6 +64,11 @@ def icp_block(
         matched=tgt_cloud[:n] if tgt_cloud.shape[0] >= n else src,
         valid=jnp.ones((n,), bool),
     )
+    linearize_fn = None
+    if weight_matrix is None:
+        from moptimizer_0_tpu.ops.icp_linearize import fused_point2point_linearizer
+
+        linearize_fn = fused_point2point_linearizer
     return make_block(
         residual_fn,
         data=data,
@@ -71,6 +76,7 @@ def icp_block(
         update_fn=update_fn_closed,
         loss=loss,
         weight_matrix=weight_matrix,
+        linearize_fn=linearize_fn,
         name="icp",
     )
 

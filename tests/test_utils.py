@@ -1,6 +1,8 @@
 """Utilities: covariance recovery, trace formatting, verbose logging, IO."""
 
 import io
+
+import jax
 import pathlib
 
 import jax.numpy as jnp
@@ -71,3 +73,21 @@ def test_cloud_loader():
     pts = load_txt_cloud(data)
     assert pts.shape == (29310, 3)
     assert np.isfinite(pts).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from moptimizer_0_tpu.utils import checkpoint
+
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    res = levenberg_marquardt(problem(blk), jnp.array([0.9, 0.2]), LMConfig())
+    path = tmp_path / "state.npz"
+    checkpoint.save(path, res)
+    template = jax.tree_util.tree_map(jnp.zeros_like, res)
+    restored = checkpoint.load(path, template)
+    np.testing.assert_array_equal(restored.x, res.x)
+    np.testing.assert_array_equal(restored.trace["cost"], res.trace["cost"])
+    # mismatched template rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        checkpoint.load(path, {"wrong": jnp.zeros(2)})
