@@ -27,6 +27,7 @@ under GSPMD — the distributed-BA layout of SURVEY.md §2.3.
 
 import dataclasses
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,8 @@ class BAProblem:
     pt_idx: jax.Array
     pixels: jax.Array
     intrinsics: jax.Array
+    loss: Any = None  # robust loss (core.loss); weights H,b only, like the
+    # reference's loss semantics (linearization.h:108-115). None = trivial.
     n_fixed_cameras: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
@@ -121,21 +124,30 @@ def _linearize(problem):
 
 
 def _gn_blocks(problem, r, A, B):
-    """Segment-summed Gauss-Newton blocks."""
+    """Segment-summed Gauss-Newton blocks. A robust loss (problem.loss)
+    contributes an IRLS weight w = loss(‖r‖²) per observation on H,b only
+    (reference loss semantics, linearization.h:108-115)."""
     C = problem.camera_params.shape[0]
     L = problem.points.shape[0]
+    if problem.loss is not None:
+        w = problem.loss.weight(jnp.sum(r * r, axis=1))  # (O,)
+        Aw = w[:, None, None] * A
+        Bw = w[:, None, None] * B
+        rw = w[:, None] * r
+    else:
+        Aw, Bw, rw = A, B, r
     U = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", A, A), problem.cam_idx, num_segments=C
+        jnp.einsum("oij,oik->ojk", Aw, A), problem.cam_idx, num_segments=C
     )  # (C,6,6)
     V = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", B, B), problem.pt_idx, num_segments=L
+        jnp.einsum("oij,oik->ojk", Bw, B), problem.pt_idx, num_segments=L
     )  # (L,3,3)
-    W = jnp.einsum("oij,oik->ojk", A, B)  # (O,6,3)
+    W = jnp.einsum("oij,oik->ojk", Aw, B)  # (O,6,3)
     g = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", A, r), problem.cam_idx, num_segments=C
+        jnp.einsum("oij,oi->oj", A, rw), problem.cam_idx, num_segments=C
     )  # (C,6)
     h = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", B, r), problem.pt_idx, num_segments=L
+        jnp.einsum("oij,oi->oj", B, rw), problem.pt_idx, num_segments=L
     )  # (L,3)
     return U, V, W, g, h
 

@@ -59,9 +59,24 @@ def compute_cost(block_or_problem, x):
     total = jnp.zeros((), dtype=x.dtype)
     for block in blocks:
         r, valid = _batched_residuals(block, x)
-        total = total + jnp.sum(
-            valid.astype(x.dtype) * jnp.sum(r * r, axis=-1)
-        )
+        if block.weighted_cost:
+            if block.weight_fn is not None:
+                state = block.prepare_fn(x)
+                Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(block.data)
+                per = jnp.einsum("no,noq,nq->n", r, Sigma, r)
+            elif block.weight_matrix is not None:
+                Sg = jnp.asarray(block.weight_matrix, x.dtype)
+                if Sg.ndim == 3:
+                    per = jnp.einsum("no,noq,nq->n", r, Sg, r)
+                else:
+                    per = jnp.einsum("no,oq,nq->n", r, Sg, r)
+            else:
+                per = jnp.sum(r * r, axis=-1)
+            total = total + jnp.sum(valid.astype(x.dtype) * per)
+        else:
+            total = total + jnp.sum(
+                valid.astype(x.dtype) * jnp.sum(r * r, axis=-1)
+            )
     return total
 
 
@@ -145,26 +160,44 @@ def _linearize_block(block, x, mode):
     return _accumulate(block, x, r, valid, J)
 
 
-def _accumulate(block, x, r, valid, J):
-    """Fused H,b accumulation — one MXU matmul over the flattened (N·O) axis."""
+def _accumulate(block, x, r, valid, J, P=None):
+    """Fused H,b accumulation — one MXU matmul over the flattened (N·O) axis.
+    P defaults to x's dim; pass the tangent dim for manifold linearization."""
     N, O = r.shape
-    P = x.shape[0]
+    if P is None:
+        P = x.shape[0]
     sq_norm = jnp.sum(r * r, axis=-1)  # (N,)
     w = block.loss.weight(sq_norm) * valid.astype(x.dtype)  # (N,)
 
-    if block.weight_matrix is None:
+    if block.weight_fn is not None:
+        # state-dependent per-residual information (GICP et al.)
+        state = block.prepare_fn(x)
+        Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(block.data)
+        SJ = jnp.einsum("noq,nqp->nop", Sigma, J)
+        Sr = jnp.einsum("noq,nq->no", Sigma, r)
+    elif block.weight_matrix is None:
         SJ = J
         Sr = r
     else:
         Sigma = jnp.asarray(block.weight_matrix, dtype=x.dtype)
-        SJ = jnp.einsum("oq,nqp->nop", Sigma, J)
-        Sr = r @ Sigma.T
+        if Sigma.ndim == 3:
+            # per-residual information matrices (N,O,O) — the GICP /
+            # heteroscedastic case (beyond the reference's single shared Σ,
+            # covariance/covariance.h)
+            SJ = jnp.einsum("noq,nqp->nop", Sigma, J)
+            Sr = jnp.einsum("noq,nq->no", Sigma, r)
+        else:
+            SJ = jnp.einsum("oq,nqp->nop", Sigma, J)
+            Sr = r @ Sigma.T
 
     A = J.reshape(N * O, P)
     Bm = (w[:, None, None] * SJ).reshape(N * O, P)
     H = A.T @ Bm
     b = A.T @ (w[:, None] * Sr).reshape(N * O)
-    cost = jnp.sum(valid.astype(x.dtype) * sq_norm)
+    if block.weighted_cost:
+        cost = jnp.sum(valid.astype(x.dtype) * jnp.einsum("no,no->n", r, Sr))
+    else:
+        cost = jnp.sum(valid.astype(x.dtype) * sq_norm)
     return cost, H, b
 
 
@@ -199,22 +232,6 @@ def linearize_tangent(block_or_problem, x, retract_fn, mode="auto"):
             J = jax.jacfwd(
                 lambda d: _batched_residuals(block, retract_fn(x, d))[0]
             )(zero)
-        c_i, H_i, b_i = _accumulate_tangent(block, x, r, valid, J, tangent_dim)
+        c_i, H_i, b_i = _accumulate(block, x, r, valid, J, P=tangent_dim)
         cost, H, b = cost + c_i, H + H_i, b + b_i
     return cost, H, b
-
-
-def _accumulate_tangent(block, x, r, valid, J, P):
-    N, O = r.shape
-    sq_norm = jnp.sum(r * r, axis=-1)
-    w = block.loss.weight(sq_norm) * valid.astype(x.dtype)
-    if block.weight_matrix is None:
-        SJ, Sr = J, r
-    else:
-        Sigma = jnp.asarray(block.weight_matrix, dtype=x.dtype)
-        SJ = jnp.einsum("oq,nqp->nop", Sigma, J)
-        Sr = r @ Sigma.T
-    A = J.reshape(N * O, P)
-    H = A.T @ (w[:, None, None] * SJ).reshape(N * O, P)
-    b = A.T @ (w[:, None] * Sr).reshape(N * O)
-    return jnp.sum(valid.astype(x.dtype) * sq_norm), H, b

@@ -75,6 +75,16 @@ class ResidualBlock:
     linearize_fn: Optional[Callable] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )  # optional fused fast path: (block, x) -> (cost, H, b); used for mode="auto"
+    weight_fn: Optional[Callable] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )  # state-dependent per-residual information: (state, data_i) -> (O, O);
+    # overrides weight_matrix (GICP's C_q + R C_s Rᵀ inverse, for example)
+    weighted_cost: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # True: cost (and the LM ρ test) uses the Ω-weighted objective Σ rᵀΩr —
+    # required when Ω is strongly anisotropic (GICP), where a step that
+    # decreases the weighted objective can increase the raw Σ‖r‖² and would
+    # otherwise always be rejected. False (default) keeps reference parity:
+    # cost is the unweighted Σ‖r‖² (linearization.h:108-115).
     name: str = dataclasses.field(default="block", metadata=dict(static=True))
 
     def update(self, x):
@@ -94,6 +104,8 @@ def make_block(
     jacobian_fn=None,
     update_fn=None,
     linearize_fn=None,
+    weight_fn=None,
+    weighted_cost=False,
     name="block",
 ):
     """Convenience constructor with a TrivialLoss default (reference
@@ -109,6 +121,8 @@ def make_block(
         jacobian_fn=jacobian_fn,
         update_fn=update_fn,
         linearize_fn=linearize_fn,
+        weight_fn=weight_fn,
+        weighted_cost=weighted_cost,
         name=name,
     )
 

@@ -61,6 +61,15 @@ class LMConfig:
     linear_solver: str = "lu"  # "lu" | "cholesky"
     verbose: bool = False  # live per-iteration debug lines (reference L_DEBUG)
 
+    def __post_init__(self):
+        if self.max_iterations < 0:
+            # reference optimizer.h:34-35 throws std::invalid_argument
+            raise ValueError("max_iterations cannot be less than 0.")
+        if self.inner_iterations < 1:
+            raise ValueError("inner_iterations must be >= 1.")
+        if self.linear_solver not in ("lu", "cholesky"):
+            raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

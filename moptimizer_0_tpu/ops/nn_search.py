@@ -161,8 +161,43 @@ def nearest_neighbors(query, points, *, backend="auto", block_q=512, block_p=102
 
     backend: "auto" (pallas on TPU, XLA elsewhere), "pallas", "xla".
     """
+    if query.shape[0] == 0 or points.shape[0] == 0:
+        raise ValueError(
+            f"nearest_neighbors needs non-empty clouds; got query {query.shape}, "
+            f"points {points.shape}"
+        )
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         return _nn_pallas(query, points, block_q=block_q, block_p=block_p)
     return _nn_xla(query, points, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(query, points, k, chunk=1024):
+    """k nearest neighbors per query point (XLA chunked lax.top_k path).
+
+    Returns (indices (Q, k), sq_dists (Q, k)), nearest first. Used by the
+    normal/covariance estimation utilities (GICP, point-to-plane).
+    """
+    Q = query.shape[0]
+    qf = query.astype(jnp.float32)
+    pf = points.astype(jnp.float32)
+    pn = jnp.sum(pf * pf, axis=1)
+    qp = _pad_to(qf, chunk, 0, 0.0)
+    n_chunks = qp.shape[0] // chunk
+
+    def body(carry, q_chunk):
+        cross = jax.lax.dot_general(
+            q_chunk,
+            pf,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.sum(q_chunk * q_chunk, axis=1, keepdims=True) - 2.0 * cross + pn[None, :]
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return carry, (idx.astype(jnp.int32), -neg_d)
+
+    _, (idx, dist) = jax.lax.scan(body, None, qp.reshape(n_chunks, chunk, -1))
+    return idx.reshape(-1, k)[:Q], dist.reshape(-1, k)[:Q]

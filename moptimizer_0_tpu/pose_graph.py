@@ -19,6 +19,7 @@ Gauge: the first `n_fixed` poses are held fixed by masking their deltas.
 
 import dataclasses
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ class PoseGraph:
     edge_j: jax.Array
     measurements: jax.Array
     information: jax.Array
+    loss: Any = None  # robust kernel on edges; weights H,b only
     n_fixed: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
@@ -46,6 +48,9 @@ class PGOConfig:
     max_iterations: int = 30
     inner_iterations: int = 3
     init_lambda_factor: float = 1e-9
+    solver: str = "dense"  # "dense" (Cholesky on 6N×6N) | "cg" (matrix-free)
+    cg_iterations: int = 100
+    cg_tol: float = 1e-10
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +109,10 @@ def _assemble(graph, r, Ji, Jj):
     N = graph.poses.shape[0]
     dtype = graph.poses.dtype
     Om = graph.information.astype(dtype)
+    if graph.loss is not None:
+        # robust kernel weight from the information-weighted squared norm
+        sq = jnp.einsum("ei,eij,ej->e", r, Om, r)
+        Om = graph.loss.weight(sq)[:, None, None] * Om
 
     JiW = jnp.einsum("eki,ekl->eil", Ji, Om)  # JᵢᵀΩ (E,6,6)
     JjW = jnp.einsum("eki,ekl->eil", Jj, Om)
@@ -128,6 +137,87 @@ def _assemble(graph, r, Ji, Jj):
     return H, b.reshape(-1)
 
 
+def _edge_blocks(graph, r, Ji, Jj):
+    """Per-edge weighted H blocks + b contributions (no global assembly) —
+    the matrix-free representation for the CG path (scales to 10⁴⁺ poses
+    where the dense 6N×6N H stops fitting)."""
+    dtype = graph.poses.dtype
+    Om = graph.information.astype(dtype)
+    if graph.loss is not None:
+        sq = jnp.einsum("ei,eij,ej->e", r, Om, r)
+        Om = graph.loss.weight(sq)[:, None, None] * Om
+    JiW = jnp.einsum("eki,ekl->eil", Ji, Om)
+    JjW = jnp.einsum("eki,ekl->eil", Jj, Om)
+    H_ii = jnp.einsum("eil,elj->eij", JiW, Ji)
+    H_ij = jnp.einsum("eil,elj->eij", JiW, Jj)
+    H_jj = jnp.einsum("eil,elj->eij", JjW, Jj)
+    b_i = jnp.einsum("eil,el->ei", JiW, r)
+    b_j = jnp.einsum("eil,el->ei", JjW, r)
+    return H_ii, H_ij, H_jj, b_i, b_j
+
+
+def _pgo_matvec(u, H_ii, H_ij, H_jj, edge_i, edge_j, N, free):
+    """H·u via gathers + segment sums; u (N,6)."""
+    u = u * free
+    ui = u[edge_i]
+    uj = u[edge_j]
+    out_i = jnp.einsum("eij,ej->ei", H_ii, ui) + jnp.einsum("eij,ej->ei", H_ij, uj)
+    out_j = jnp.einsum("eji,ej->ei", H_ij, ui) + jnp.einsum("eij,ej->ei", H_jj, uj)
+    out = jax.ops.segment_sum(out_i, edge_i, num_segments=N) + jax.ops.segment_sum(
+        out_j, edge_j, num_segments=N
+    )
+    return out * free
+
+
+def _pgo_cg_solve(graph, r, Ji, Jj, lam, free_nodes, config):
+    """Damped Gauss-Newton step by block-Jacobi-preconditioned CG."""
+    N = graph.poses.shape[0]
+    dtype = graph.poses.dtype
+    H_ii, H_ij, H_jj, b_i, b_j = _edge_blocks(graph, r, Ji, Jj)
+    b = jax.ops.segment_sum(b_i, graph.edge_i, num_segments=N) + jax.ops.segment_sum(
+        b_j, graph.edge_j, num_segments=N
+    )  # (N,6)
+    diag_blocks = jax.ops.segment_sum(
+        H_ii, graph.edge_i, num_segments=N
+    ) + jax.ops.segment_sum(H_jj, graph.edge_j, num_segments=N)  # (N,6,6)
+    d = jnp.diagonal(diag_blocks, axis1=-2, axis2=-1)  # (N,6)
+
+    def mv(u):
+        base = _pgo_matvec(u, H_ii, H_ij, H_jj, graph.edge_i, graph.edge_j, N, free_nodes)
+        return base + lam * d * (u * free_nodes)
+
+    damped_diag = diag_blocks + lam * jax.vmap(jnp.diag)(d)
+    pre_inv = jnp.linalg.inv(damped_diag + 1e-12 * jnp.eye(6, dtype=dtype))
+
+    def pre(u):
+        return jnp.einsum("nij,nj->ni", pre_inv, u) * free_nodes
+
+    rhs = -b * free_nodes
+    x = jnp.zeros_like(rhs)
+    res = rhs
+    z = pre(res)
+    p = z
+    rz = jnp.sum(res * z)
+
+    def body(state):
+        x, res, p, rz, k = state
+        Ap = mv(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), jnp.finfo(dtype).tiny)
+        x = x + alpha * p
+        res = res - alpha * Ap
+        z = pre(res)
+        rz_new = jnp.sum(res * z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(dtype).tiny)
+        return x, res, z + beta * p, rz_new, k + 1
+
+    def cond(state):
+        _, res, _, _, k = state
+        return (k < config.cg_iterations) & (jnp.sum(res * res) > config.cg_tol**2)
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, res, p, rz, 0))
+    return x, b.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_pgo(graph, config=PGOConfig()):
     dtype = graph.poses.dtype
@@ -146,14 +236,22 @@ def solve_pgo(graph, config=PGOConfig()):
     def outer_body(c):
         graph_c = dataclasses.replace(graph, poses=c["poses"])
         r, Ji, Jj = _linearize(graph_c)
-        H, b = _assemble(graph_c, r, Ji, Jj)
         y0 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, graph.information, r))
 
-        # gauge fixing: zero the fixed poses' rows/cols, identity diagonal
-        H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
-        b = b * free
-
-        diag_H = jnp.diagonal(H)
+        if config.solver == "cg":
+            # no dense assembly; λ seed needs only the diagonal blocks
+            H_ii, _, H_jj, _, _ = _edge_blocks(graph_c, r, Ji, Jj)
+            diag_blocks = jax.ops.segment_sum(
+                H_ii, graph.edge_i, num_segments=N
+            ) + jax.ops.segment_sum(H_jj, graph.edge_j, num_segments=N)
+            diag_H = jnp.diagonal(diag_blocks, axis1=-2, axis2=-1).reshape(-1) * free
+            H = b = None
+        else:
+            H, b = _assemble(graph_c, r, Ji, Jj)
+            # gauge fixing: zero the fixed poses' rows/cols, identity diagonal
+            H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+            b = b * free
+            diag_H = jnp.diagonal(H)
         converged0 = jnp.abs(y0) < 8 * eps
         lam = jnp.where(
             c["lam"] < 0.0, config.init_lambda_factor * jnp.max(jnp.abs(diag_H)), c["lam"]
@@ -175,14 +273,22 @@ def solve_pgo(graph, config=PGOConfig()):
             return (s["k"] < config.inner_iterations) & ~s["stop"]
 
         def inner_body(s):
-            A = H + s["lam"] * jnp.diag(diag_H)
-            factor = jax.scipy.linalg.cho_factor(A)
-            delta = jax.scipy.linalg.cho_solve(factor, -b) * free
+            if config.solver == "cg":
+                d_nodes, b_cg = _pgo_cg_solve(
+                    graph_c, r, Ji, Jj, s["lam"], free.reshape(N, 6), config
+                )
+                delta = d_nodes.reshape(-1)
+                b_rho = b_cg * free  # gradient for the ρ denominator (src:93)
+            else:
+                A = H + s["lam"] * jnp.diag(diag_H)
+                factor = jax.scipy.linalg.cho_factor(A)
+                delta = jax.scipy.linalg.cho_solve(factor, -b) * free
+                b_rho = b
             poses_i = c["poses"] + delta.reshape(N, 6)
             yi = compute_cost(dataclasses.replace(graph, poses=poses_i))
 
             is_nan = jnp.isnan(yi)
-            rho = (y0 - yi) / jnp.dot(delta, s["lam"] * delta - b)
+            rho = (y0 - yi) / jnp.dot(delta, s["lam"] * delta - b_rho)
             small = jnp.max(jnp.abs(delta)) < jnp.sqrt(eps)
             reject = rho < 0.0
             accept = ~is_nan & ~reject

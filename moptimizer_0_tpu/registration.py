@@ -90,12 +90,24 @@ def icp(
     loss=None,
     max_corr_dist=None,
     nn_backend="auto",
+    init="centroid",
 ):
     """Full ICP: returns the LMResult whose x is the 6-DoF params
-    ([t, ω], reference convention) aligning src onto tgt_cloud."""
+    ([t, ω], reference convention) aligning src onto tgt_cloud.
+
+    init="centroid" (default, when x0 is None): seed the translation with
+    median(tgt) − median(src) — NN correspondence search has a small
+    convergence basin and cannot swallow large offsets from identity; the
+    median keeps the seed robust to outlier points. init="identity" starts
+    at zero."""
     src = jnp.asarray(src)
     if x0 is None:
         x0 = jnp.zeros(6, dtype=src.dtype)
+        if init == "centroid":
+            t0 = jnp.median(
+                jnp.asarray(tgt_cloud, src.dtype), axis=0
+            ) - jnp.median(src, axis=0)
+            x0 = x0.at[0:3].set(t0)
     if config is None:
         config = LMConfig(diff_mode="auto", max_iterations=30, linear_solver="cholesky")
     blk = icp_block(
@@ -104,5 +116,60 @@ def icp(
         loss=loss,
         max_corr_dist=max_corr_dist,
         nn_backend=nn_backend,
+    )
+    return levenberg_marquardt(problem(blk), x0, config)
+
+
+def gicp(
+    src,
+    tgt_cloud,
+    x0=None,
+    *,
+    k=10,
+    epsilon=1e-3,
+    config=None,
+    loss=None,
+    max_corr_dist=None,
+    nn_backend="auto",
+):
+    """Generalized (plane-to-plane) ICP: per-point GICP covariances from
+    k-NN PCA, NN correspondence update per outer iteration, state-dependent
+    information Ω = (C_q + R C_s Rᵀ)⁻¹ per match."""
+    from moptimizer_0_tpu.models.gicp import gicp_block
+    from moptimizer_0_tpu.ops.surface import gicp_covariances
+
+    src = jnp.asarray(src)
+    tgt_cloud = jnp.asarray(tgt_cloud)
+    if x0 is None:
+        x0 = jnp.zeros(6, dtype=src.dtype)
+        t0 = jnp.median(tgt_cloud.astype(src.dtype), axis=0) - jnp.median(src, axis=0)
+        x0 = x0.at[0:3].set(t0)
+    if config is None:
+        config = LMConfig(diff_mode="auto", max_iterations=30, linear_solver="cholesky")
+
+    src_cov = gicp_covariances(src, k=k, epsilon=epsilon).astype(src.dtype)
+    tgt_cov = gicp_covariances(tgt_cloud, k=k, epsilon=epsilon).astype(src.dtype)
+    n = src.shape[0]
+
+    def update_fn(x, data):
+        T = se3.transform_from_params6(x)
+        warped = data["src"] @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nearest_neighbors(warped, tgt_cloud, backend=nn_backend)
+        matched = tgt_cloud[idx]
+        matched_cov = tgt_cov[idx]
+        if max_corr_dist is not None:
+            valid = d2 < jnp.asarray(max_corr_dist, d2.dtype) ** 2
+        else:
+            valid = jnp.ones((n,), bool)
+        return dict(data, matched=matched, matched_cov=matched_cov, valid=valid)
+
+    blk = gicp_block(
+        src,
+        tgt_cloud[:n] if tgt_cloud.shape[0] >= n else src,
+        src_cov,
+        (tgt_cov[:n] if tgt_cloud.shape[0] >= n else src_cov),
+        loss=loss,
+        update_fn=update_fn,
+        valid=jnp.ones((n,), bool),
     )
     return levenberg_marquardt(problem(blk), x0, config)

@@ -13,8 +13,10 @@ def load_txt_cloud(path, dtype=np.float64):
     try:
         from moptimizer_0_tpu.native import load_txt_cloud_native
 
-        pts = load_txt_cloud_native(str(path))
-        return np.asarray(pts, dtype=dtype)
+        pts = np.asarray(load_txt_cloud_native(str(path)), dtype=dtype)
     except Exception:
         data = np.loadtxt(str(path), dtype=dtype)
-        return np.ascontiguousarray(data[:, :3])
+        pts = np.ascontiguousarray(np.atleast_2d(data)[:, :3])
+    if pts.shape[0] == 0:
+        raise ValueError(f"no points parsed from {path} — not a point-cloud file?")
+    return pts

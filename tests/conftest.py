@@ -21,3 +21,8 @@ import jax
 # before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-dominated (every jitted
+# LM variant recompiles per process otherwise).
+jax.config.update("jax_compilation_cache_dir", "/tmp/moptimizer_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -139,3 +139,27 @@ def test_ba_sharded_observations_match():
         res_shard.camera_params, res_single.camera_params, atol=1e-8
     )
     np.testing.assert_allclose(res_shard.points, res_single.points, atol=1e-8)
+
+
+def test_ba_robust_loss_downweights_outliers():
+    """A handful of corrupted pixel observations: Geman-McClure BA stays near
+    ground truth; unweighted BA is dragged off."""
+    from moptimizer_0_tpu import GemanMcClure
+
+    start, gt = make_synthetic_ba(C=5, L=40, n_fixed=2, seed=7)
+    rng = np.random.default_rng(8)
+    pixels = np.array(start.pixels)  # writable copy
+    bad = rng.choice(len(pixels), size=10, replace=False)
+    pixels[bad] += 300.0  # gross outliers
+    start_noisy = dataclasses.replace(start, pixels=jnp.asarray(pixels))
+
+    res_plain = ba.solve_ba(start_noisy, ba.BAConfig(max_iterations=30))
+    start_robust = dataclasses.replace(
+        start_noisy, loss=GemanMcClure(tau=jnp.asarray(4.0))
+    )
+    res_robust = ba.solve_ba(start_robust, ba.BAConfig(max_iterations=30))
+
+    err_plain = float(jnp.max(jnp.abs(res_plain.points - gt.points)))
+    err_robust = float(jnp.max(jnp.abs(res_robust.points - gt.points)))
+    assert err_robust < 0.01
+    assert err_robust < err_plain / 5

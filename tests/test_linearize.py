@@ -154,3 +154,33 @@ def test_fd_matches_reference_step_rule():
     r0, _ = _batched_residuals(blk, jnp.asarray(x0))
     J = _jacobian_fd(blk, jnp.asarray(x0), r0)
     np.testing.assert_allclose(J, J_manual, rtol=1e-12)
+
+
+def test_per_residual_weight_matrices():
+    """(N,O,O) weight matrices: block-diagonal Σ sandwich per residual
+    (GICP-style heteroscedastic information; extends reference covariance)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(12)
+    from moptimizer_0_tpu.models.point2point import point2point_block
+
+    src = jnp.asarray(rng.uniform(0, 5, (50, 3)))
+    tgt = jnp.asarray(rng.uniform(0, 5, (50, 3)))
+    # random SPD per-point 3x3 informations
+    A = rng.normal(size=(50, 3, 3))
+    Sigmas = jnp.asarray(A @ A.transpose(0, 2, 1) + 3 * _np.eye(3))
+    x0 = jnp.array([0.1, -0.2, 0.05, 0.02, 0.01, -0.03])
+
+    blk = point2point_block(src, tgt, fused=False, weight_matrix=Sigmas)
+    c, H, b = linearize(blk, x0, mode="auto")
+
+    # oracle: loop accumulation
+    from moptimizer_0_tpu.core.linearize import _batched_residuals, _jacobian_auto
+
+    r, _ = _batched_residuals(blk, x0)
+    J = _jacobian_auto(blk, x0)
+    H_ref = sum(_np.asarray(J[i]).T @ _np.asarray(Sigmas[i]) @ _np.asarray(J[i]) for i in range(50))
+    b_ref = sum(_np.asarray(J[i]).T @ _np.asarray(Sigmas[i]) @ _np.asarray(r[i]) for i in range(50))
+    np.testing.assert_allclose(H, H_ref, rtol=1e-10)
+    np.testing.assert_allclose(b, b_ref, rtol=1e-10)
+    np.testing.assert_allclose(c, _np.sum(_np.asarray(r) ** 2), rtol=1e-12)

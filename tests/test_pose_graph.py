@@ -105,3 +105,65 @@ def test_information_weighting():
     r1 = pgo.solve_pgo(graph, pgo.PGOConfig(max_iterations=30))
     r2 = pgo.solve_pgo(graph2, pgo.PGOConfig(max_iterations=30))
     np.testing.assert_allclose(r1.poses, r2.poses, atol=1e-8)
+
+
+def test_pgo_robust_loss_survives_bad_loop_closure():
+    """One grossly wrong loop-closure edge: Geman-McClure keeps the solution
+    near ground truth; plain least squares is dragged off."""
+    from moptimizer_0_tpu import GemanMcClure
+
+    graph, gt = make_ring_graph(N=12, drift=0.01, seed=5)
+    meas = np.array(graph.measurements)
+    meas[-1] = meas[-1] + np.array([3.0, -2.0, 1.0, 0.3, 0.2, -0.1])  # bogus closure
+    bad_graph = dataclasses.replace(graph, measurements=jnp.asarray(meas))
+
+    res_plain = pgo.solve_pgo(bad_graph, pgo.PGOConfig(max_iterations=40))
+    res_robust = pgo.solve_pgo(
+        dataclasses.replace(bad_graph, loss=GemanMcClure(tau=jnp.asarray(0.5))),
+        pgo.PGOConfig(max_iterations=40),
+    )
+
+    def max_pose_err(poses):
+        errs = []
+        for k in range(12):
+            T_est = np.asarray(se3.transform_from_params6(poses[k]))
+            T_gt = np.asarray(se3.transform_from_params6(gt[k]))
+            errs.append(np.abs(np.linalg.inv(T_est) @ T_gt - np.eye(4)).max())
+        return max(errs)
+
+    assert max_pose_err(res_robust.poses) < max_pose_err(res_plain.poses) / 3
+
+
+def test_huber_cauchy_losses():
+    """Huber/Cauchy IRLS weights: 1 in the inlier region, decaying beyond."""
+    from moptimizer_0_tpu import Cauchy, Huber
+
+    h = Huber(delta=jnp.asarray(2.0))
+    np.testing.assert_allclose(h.weight(jnp.asarray(1.0)), 1.0)
+    np.testing.assert_allclose(h.weight(jnp.asarray(16.0)), 2.0 / 4.0)
+    c = Cauchy(c=jnp.asarray(2.0))
+    np.testing.assert_allclose(c.weight(jnp.asarray(0.0)), 1.0)
+    np.testing.assert_allclose(c.weight(jnp.asarray(4.0)), 0.5)
+
+
+def test_pgo_cg_matches_dense():
+    """Matrix-free CG solver reproduces the dense-Cholesky trajectory."""
+    graph, gt = make_ring_graph(N=14, drift=0.02, seed=9)
+    res_dense = pgo.solve_pgo(graph, pgo.PGOConfig(max_iterations=30))
+    res_cg = pgo.solve_pgo(
+        graph,
+        pgo.PGOConfig(max_iterations=30, solver="cg", cg_iterations=300, cg_tol=1e-13),
+    )
+    np.testing.assert_allclose(res_cg.poses, res_dense.poses, atol=1e-7)
+    assert float(res_cg.cost) < 1e-14
+
+
+def test_pgo_cg_large_graph():
+    """CG path on a 300-pose chain (dense would be 1800×1800 — still fine,
+    but this pins the scalable path's convergence)."""
+    graph, gt = make_ring_graph(N=300, drift=0.005, seed=10)
+    start_cost = float(pgo.compute_cost(graph))
+    res = pgo.solve_pgo(
+        graph, pgo.PGOConfig(max_iterations=40, solver="cg", cg_iterations=400)
+    )
+    assert float(res.cost) < start_cost * 1e-3

@@ -81,3 +81,39 @@ def test_icp_with_outliers_and_robust_loss(scene):
     err = np.linalg.inv(T_est) @ T_true
     np.testing.assert_allclose(err[:3, :3], np.eye(3), atol=1e-5)
     np.testing.assert_allclose(err[:3, 3], 0.0, atol=1e-4)
+
+
+def test_gicp_unknown_correspondences(scene):
+    """GICP (per-point covariances, state-dependent information) recovers the
+    transform from a shuffled target cloud."""
+    from moptimizer_0_tpu.registration import gicp
+
+    src, tgt_shuffled, x_true, T_true = scene
+    res = gicp(src, tgt_shuffled, nn_backend="xla", k=8)
+    T_est = np.asarray(se3.transform_from_params6(res.x))
+    err = np.linalg.inv(T_est) @ T_true
+    np.testing.assert_allclose(err[:3, :3], np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(err[:3, 3], 0.0, atol=1e-3)
+
+
+def test_surface_normals_and_covariances():
+    """PCA normals on a synthetic plane point along its true normal."""
+    from moptimizer_0_tpu.ops.surface import estimate_normals, gicp_covariances
+
+    rng = np.random.default_rng(20)
+    # plane z = 0.3x + 0.1y with small jitter
+    xy = rng.uniform(0, 10, size=(2000, 2))
+    z = 0.3 * xy[:, 0] + 0.1 * xy[:, 1] + 0.001 * rng.normal(size=2000)
+    cloud = jnp.asarray(np.column_stack([xy, z]))
+    n_true = np.array([-0.3, -0.1, 1.0])
+    n_true /= np.linalg.norm(n_true)
+
+    normals = np.asarray(estimate_normals(cloud, k=12, orient_to=[0, 0, 100.0]))
+    dots = normals @ n_true
+    assert np.mean(dots > 0.99) > 0.95
+
+    covs = np.asarray(gicp_covariances(cloud, k=12, epsilon=1e-3))
+    # smallest eigen-direction of C should be ~the normal, with eigenvalue ε
+    w, v = np.linalg.eigh(covs[0])
+    np.testing.assert_allclose(w[0], 1e-3, rtol=1e-3)
+    assert abs(v[:, 0] @ n_true) > 0.99
