@@ -22,8 +22,6 @@ weight and Σ affect only H,b; the returned cost is the unweighted
 (linearization.h:49-63).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

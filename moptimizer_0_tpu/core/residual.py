@@ -22,7 +22,6 @@ import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 def _identity_prepare(x):

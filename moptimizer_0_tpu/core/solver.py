@@ -28,7 +28,7 @@ fields the reference logger prints (src:72-75,94-95).
 import dataclasses
 import enum
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +67,7 @@ class LMConfig:
             raise ValueError("max_iterations cannot be less than 0.")
         if self.inner_iterations < 1:
             raise ValueError("inner_iterations must be >= 1.")
-        if self.linear_solver not in ("lu", "cholesky"):
+        if self.linear_solver not in ("lu", "cholesky", "unrolled"):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
 
 
@@ -87,6 +87,10 @@ def _solve_damped(H, diag_H, lam, b, method):
     if method == "cholesky":
         factor = jax.scipy.linalg.cho_factor(A)
         return jax.scipy.linalg.cho_solve(factor, -b)
+    if method == "unrolled":
+        from moptimizer_0_tpu.ops.small_solve import cholesky_solve_unrolled
+
+        return cholesky_solve_unrolled(A, -b)
     return jnp.linalg.solve(A, -b)
 
 

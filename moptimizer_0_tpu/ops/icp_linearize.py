@@ -21,7 +21,6 @@ Loss semantics identical to core.linearize (reference linearization.h:108-115):
 w = loss(‖r‖²)·valid hits H,b only; cost is unweighted Σ valid‖r‖².
 """
 
-import jax
 import jax.numpy as jnp
 
 from moptimizer_0_tpu.lie import so3

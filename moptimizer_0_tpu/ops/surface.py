@@ -8,7 +8,6 @@ model). Everything is one batched eigendecomposition — TPU-friendly, no
 per-point host loops.
 """
 
-import jax
 import jax.numpy as jnp
 
 from moptimizer_0_tpu.ops.nn_search import knn

@@ -91,3 +91,24 @@ def test_checkpoint_roundtrip(tmp_path):
 
     with _pytest.raises(ValueError):
         checkpoint.load(path, {"wrong": jnp.zeros(2)})
+
+
+def test_unrolled_cholesky_matches_lapack():
+    from moptimizer_0_tpu.ops.small_solve import cholesky_solve_unrolled
+
+    rng = np.random.default_rng(33)
+    for P in (2, 4, 6, 15):
+        M = rng.normal(size=(P, P))
+        A = jnp.asarray(M @ M.T + P * np.eye(P))
+        b = jnp.asarray(rng.normal(size=P))
+        x = cholesky_solve_unrolled(A, b)
+        np.testing.assert_allclose(x, np.linalg.solve(np.asarray(A), np.asarray(b)), rtol=1e-9)
+
+
+def test_unrolled_solver_in_lm():
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    res = levenberg_marquardt(
+        problem(blk), jnp.array([0.9, 0.2]), LMConfig(linear_solver="unrolled")
+    )
+    np.testing.assert_allclose(res.x[0], 0.362, atol=0.01)
+    np.testing.assert_allclose(res.x[1], 0.556, atol=0.01)
