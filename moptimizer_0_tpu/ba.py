@@ -248,14 +248,168 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def solve_ba(problem, config=BAConfig()):
+def ba_step(problem, lam, config=BAConfig()):
+    """One outer LM iteration (jitted; inner trial loop unrolled since
+    inner_iterations is static and ≤3).
+
+    Exposed for streaming/checkpointed drivers (step, inspect, persist,
+    continue). For full solves prefer solve_ba: the single-dispatch
+    device loop overlaps the gather/segment pipeline better than host
+    stepping (measured 10.8 s vs 28 s for a 15-iteration, 500k-observation
+    problem — this workload is TPU gather/scatter-bound, ~50 ns per
+    (6,)-row descriptor, so anything that adds per-step latency loses).
+    Returns (cams, pts, λ', terminal, status, record).
+    """
+    dtype = problem.camera_params.dtype
+    eps = jnp.finfo(dtype).eps
+
+    r, A, B = _linearize(problem)
+    U, V, W, g, h = _gn_blocks(problem, r, A, B)
+    y0 = jnp.sum(r * r)
+
+    converged0 = jnp.abs(y0) < 8 * eps
+    max_diag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
+    )
+    lam = jnp.where(lam < 0.0, config.init_lambda_factor * max_diag, lam)
+
+    state = dict(
+        cams=problem.camera_params,
+        pts=problem.points,
+        lam=lam,
+        nu=jnp.asarray(2.0, dtype),
+        y=y0,
+        rho=jnp.asarray(jnp.nan, dtype),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        stop=converged0,
+        terminal=converged0,
+    )
+
+    b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+
+    for _ in range(config.inner_iterations):  # static unroll, masked by stop
+        d_cam, d_pt = _solve_delta(problem, U, V, W, g, h, state["lam"], config)
+        cams_i = problem.camera_params + d_cam
+        pts_i = problem.points + d_pt
+        yi = compute_cost(
+            dataclasses.replace(problem, camera_params=cams_i, points=pts_i)
+        )
+
+        is_nan = jnp.isnan(yi)
+        delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
+        denom = jnp.dot(delta_flat, state["lam"] * delta_flat - b_flat)
+        rho = (y0 - yi) / denom
+        small = jnp.max(jnp.abs(delta_flat)) < jnp.sqrt(eps)
+        reject = rho < 0.0
+        accept = ~is_nan & ~reject
+        term_small = ~is_nan & reject & small
+        retry = ~is_nan & reject & ~small
+
+        status = jnp.where(
+            is_nan,
+            int(Status.NUMERIC_ERROR),
+            jnp.where(
+                term_small,
+                jnp.where(
+                    jnp.abs(yi) < 8 * eps,
+                    int(Status.CONVERGED),
+                    int(Status.SMALL_DELTA),
+                ),
+                state["status"],
+            ),
+        ).astype(jnp.int32)
+
+        gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        trial = dict(
+            cams=jnp.where(accept, cams_i, state["cams"]),
+            pts=jnp.where(accept, pts_i, state["pts"]),
+            lam=jnp.where(
+                accept,
+                state["lam"] * gain,
+                jnp.where(retry, state["nu"] * state["lam"], state["lam"]),
+            ),
+            nu=jnp.where(retry, 2.0 * state["nu"], state["nu"]),
+            y=jnp.where(accept | is_nan | term_small, yi, state["y"]),
+            rho=rho,
+            status=status,
+            stop=accept | is_nan | term_small,
+            terminal=is_nan | term_small,
+        )
+        # frozen once stop was already set on a previous trial
+        frozen = state["stop"]
+        state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(frozen, old, new), state, trial
+        )
+
+    terminal = converged0 | state["terminal"]
+    status = jnp.where(
+        converged0, jnp.asarray(int(Status.CONVERGED), jnp.int32), state["status"]
+    )
+    record = dict(cost=y0, cost_new=state["y"], rho=state["rho"], lam=state["lam"])
+    return state["cams"], state["pts"], state["lam"], terminal, status, record
+
+
+def solve_ba(problem, config=BAConfig(), host_loop=False):
     """LM over (cameras, landmarks) with Schur-eliminated inner solves.
 
     Follows the reference LM schedule exactly (λ seed 1e-9·max diag,
     ρ accept/reject, λ·ν backoff — src/levenberg_marquadt_dyn.cpp:67-114)
-    with the damped solve replaced by Schur-CG."""
+    with the damped solve replaced by Schur-CG.
+
+    host_loop=True drives ba_step from Python (one dispatch per outer
+    iteration) — useful for checkpointing/streaming; the default runs the
+    whole solve in one jitted lax.while_loop dispatch (faster, see ba_step).
+    """
+    if host_loop:
+        return _solve_ba_host(problem, config)
+    return _solve_ba_device(problem, config)
+
+
+def _solve_ba_host(problem, config):
     dtype = problem.camera_params.dtype
-    eps = jnp.finfo(dtype).eps
+    n_it = config.max_iterations
+    lam = jnp.asarray(-1.0, dtype)
+    status = jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32)
+    records = []
+    executed = 0
+    for it in range(n_it):
+        cams, pts, lam, terminal, status, record = ba_step(problem, lam, config)
+        problem = dataclasses.replace(problem, camera_params=cams, points=pts)
+        records.append(record)
+        if bool(terminal):
+            executed = it  # reference: executed_iterations_ not incremented on return
+            break
+        executed = it + 1
+
+    import numpy as _np
+
+    def _column(key):
+        col = _np.full((n_it,), _np.nan, dtype=_np.float64)
+        for i, rec in enumerate(records):
+            col[i] = float(rec[key])
+        return jnp.asarray(col, dtype)
+
+    trace = {k: _column(k) for k in ("cost", "cost_new", "rho", "lam")} if records else dict(
+        cost=jnp.full((n_it,), jnp.nan, dtype),
+        cost_new=jnp.full((n_it,), jnp.nan, dtype),
+        rho=jnp.full((n_it,), jnp.nan, dtype),
+        lam=jnp.full((n_it,), jnp.nan, dtype),
+    )
+    return BAResult(
+        camera_params=problem.camera_params,
+        points=problem.points,
+        status=status,
+        iterations=jnp.asarray(executed, jnp.int32),
+        cost=compute_cost(problem),
+        trace=trace,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _solve_ba_device(problem, config=BAConfig()):
+    """Single-dispatch solve: lax.while_loop over the ba_step body."""
+    dtype = problem.camera_params.dtype
     n_it = config.max_iterations
 
     trace0 = dict(
@@ -264,109 +418,9 @@ def solve_ba(problem, config=BAConfig()):
         rho=jnp.full((n_it,), jnp.nan, dtype),
         lam=jnp.full((n_it,), jnp.nan, dtype),
     )
-
-    def replace_state(problem, cams, pts):
-        return dataclasses.replace(problem, camera_params=cams, points=pts)
-
-    def outer_body(c):
-        prob = c["problem"]
-        r, A, B = _linearize(prob)
-        U, V, W, g, h = _gn_blocks(prob, r, A, B)
-        y0 = jnp.sum(r * r)
-
-        converged0 = jnp.abs(y0) < 8 * eps
-        max_diag = jnp.maximum(
-            jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
-            jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
-        )
-        lam = jnp.where(c["lam"] < 0.0, config.init_lambda_factor * max_diag, c["lam"])
-
-        inner0 = dict(
-            k=jnp.zeros((), jnp.int32),
-            cams=prob.camera_params,
-            pts=prob.points,
-            lam=lam,
-            nu=jnp.asarray(2.0, dtype),
-            y=y0,
-            rho=jnp.asarray(jnp.nan, dtype),
-            status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
-            stop=converged0,
-            terminal=converged0,
-        )
-
-        def inner_cond(s):
-            return (s["k"] < config.inner_iterations) & ~s["stop"]
-
-        def inner_body(s):
-            d_cam, d_pt = _solve_delta(prob, U, V, W, g, h, s["lam"], config)
-            cams_i = prob.camera_params + d_cam
-            pts_i = prob.points + d_pt
-            yi = compute_cost(replace_state(prob, cams_i, pts_i))
-
-            is_nan = jnp.isnan(yi)
-            # ρ denominator: δ·(λδ − b) with b = (g, h) stacked (src:93)
-            delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
-            b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
-            denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
-            rho = (y0 - yi) / denom
-            small = jnp.max(jnp.abs(delta_flat)) < jnp.sqrt(eps)
-            reject = rho < 0.0
-            accept = ~is_nan & ~reject
-            term_small = ~is_nan & reject & small
-            retry = ~is_nan & reject & ~small
-
-            status = jnp.where(
-                is_nan,
-                int(Status.NUMERIC_ERROR),
-                jnp.where(
-                    term_small,
-                    jnp.where(
-                        jnp.abs(yi) < 8 * eps,
-                        int(Status.CONVERGED),
-                        int(Status.SMALL_DELTA),
-                    ),
-                    s["status"],
-                ),
-            ).astype(jnp.int32)
-
-            gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-            return dict(
-                k=s["k"] + 1,
-                cams=jnp.where(accept, cams_i, s["cams"]),
-                pts=jnp.where(accept, pts_i, s["pts"]),
-                lam=jnp.where(
-                    accept, s["lam"] * gain, jnp.where(retry, s["nu"] * s["lam"], s["lam"])
-                ),
-                nu=jnp.where(retry, 2.0 * s["nu"], s["nu"]),
-                y=jnp.where(accept | is_nan | term_small, yi, s["y"]),
-                rho=rho,
-                status=status,
-                stop=accept | is_nan | term_small,
-                terminal=is_nan | term_small,
-            )
-
-        inner = jax.lax.while_loop(inner_cond, inner_body, inner0)
-        terminal = converged0 | inner["terminal"]
-        status = jnp.where(
-            converged0, jnp.asarray(int(Status.CONVERGED), jnp.int32), inner["status"]
-        )
-        trace = dict(
-            cost=c["trace"]["cost"].at[c["it"]].set(y0),
-            cost_new=c["trace"]["cost_new"].at[c["it"]].set(inner["y"]),
-            rho=c["trace"]["rho"].at[c["it"]].set(inner["rho"]),
-            lam=c["trace"]["lam"].at[c["it"]].set(inner["lam"]),
-        )
-        return dict(
-            problem=replace_state(prob, inner["cams"], inner["pts"]),
-            lam=inner["lam"],
-            it=jnp.where(terminal, c["it"], c["it"] + 1),
-            status=status,
-            done=terminal,
-            trace=trace,
-        )
-
     carry0 = dict(
-        problem=problem,
+        cams=problem.camera_params,
+        pts=problem.points,
         lam=jnp.asarray(-1.0, dtype),
         it=jnp.zeros((), jnp.int32),
         status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
@@ -377,13 +431,31 @@ def solve_ba(problem, config=BAConfig()):
     def cond(c):
         return (c["it"] < n_it) & ~c["done"]
 
-    c = jax.lax.while_loop(cond, outer_body, carry0)
-    prob = c["problem"]
+    def body(c):
+        prob = dataclasses.replace(
+            problem, camera_params=c["cams"], points=c["pts"]
+        )
+        cams, pts, lam, terminal, status, record = ba_step.__wrapped__(
+            prob, c["lam"], config
+        )
+        trace = {k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()}
+        return dict(
+            cams=cams,
+            pts=pts,
+            lam=lam,
+            it=jnp.where(terminal, c["it"], c["it"] + 1),
+            status=status,
+            done=terminal,
+            trace=trace,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    final = dataclasses.replace(problem, camera_params=c["cams"], points=c["pts"])
     return BAResult(
-        camera_params=prob.camera_params,
-        points=prob.points,
+        camera_params=c["cams"],
+        points=c["pts"],
         status=c["status"],
         iterations=c["it"],
-        cost=compute_cost(prob),
+        cost=compute_cost(final),
         trace=c["trace"],
     )

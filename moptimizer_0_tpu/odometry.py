@@ -1,0 +1,107 @@
+"""Scan odometry + mini-SLAM: sequential registration front-end, pose-graph
+back-end.
+
+Composes the engine's pieces into the pipeline the reference's domain points
+at (SURVEY.md §7 "scale workloads"): consecutive scans are registered with
+ICP/GICP (identical shapes → the jitted solve compiles once and is reused
+for every pair), relative transforms are chained into a trajectory, and
+optional loop-closure registrations feed a pose-graph optimization that
+redistributes drift.
+
+Conventions: world pose of scan k is P_k (params6, reference convention)
+with P_0 = I. Registering scan j onto scan i returns T_ij with
+p_i ≈ T_ij · p_j, i.e. exactly the pose-graph measurement z_ij for the edge
+i → j (pose_graph._edge_residual).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from moptimizer_0_tpu import pose_graph as pgo
+from moptimizer_0_tpu.core.solver import LMConfig
+from moptimizer_0_tpu.lie import se3, so3
+from moptimizer_0_tpu.registration import gicp, icp
+
+
+def _params6_of(T):
+    return jnp.concatenate([T[:3, 3], so3.log(T[:3, :3])])
+
+
+def _compose(a, b):
+    """params6 of T(a)·T(b)."""
+    return _params6_of(
+        se3.transform_from_params6(a) @ se3.transform_from_params6(b)
+    )
+
+
+def register_pair(src, tgt, *, method="icp", config=None, **kwargs):
+    """Align src onto tgt; returns (params6, LMResult)."""
+    if config is None:
+        config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
+    solver = gicp if method == "gicp" else icp
+    res = solver(src, tgt, config=config, **kwargs)
+    return res.x, res
+
+
+def scan_odometry(scans, *, method="icp", config=None, **kwargs):
+    """Sequential odometry over a list of (N, 3) scans.
+
+    Returns (poses (K, 6) world poses, relative (K-1, 6) measurements).
+    All scans should share a point count so the jitted registration solve is
+    compiled once and reused (static shapes).
+    """
+    poses = [jnp.zeros(6, dtype=jnp.asarray(scans[0]).dtype)]
+    rels = []
+    for k in range(1, len(scans)):
+        # T_{k-1,k}: scan k into frame k-1
+        rel, _ = register_pair(scans[k], scans[k - 1], method=method, config=config, **kwargs)
+        rels.append(rel)
+        poses.append(_compose(poses[-1], rel))
+    return jnp.stack(poses), (jnp.stack(rels) if rels else jnp.zeros((0, 6)))
+
+
+def scan_slam(
+    scans,
+    *,
+    method="icp",
+    loop_closures=(),
+    config=None,
+    pgo_config=None,
+    information_scale=1.0,
+    loop_information_scale=1.0,
+    **kwargs,
+):
+    """Odometry + loop-closure registrations + pose-graph optimization.
+
+    loop_closures: iterable of (i, j) scan-index pairs to register directly
+    (scan j onto scan i). Returns the PGOResult plus the odometry-only poses.
+    """
+    poses_odo, rels = scan_odometry(scans, method=method, config=config, **kwargs)
+    K = len(scans)
+
+    edge_i = list(range(K - 1))
+    edge_j = list(range(1, K))
+    meas = [rels[k] for k in range(K - 1)]
+    info = [information_scale * np.eye(6) for _ in range(K - 1)]
+
+    for (i, j) in loop_closures:
+        z, _ = register_pair(
+            scans[j], scans[i], method=method, config=config, **kwargs
+        )
+        edge_i.append(i)
+        edge_j.append(j)
+        meas.append(z)
+        info.append(loop_information_scale * np.eye(6))
+
+    graph = pgo.PoseGraph(
+        poses=poses_odo,
+        edge_i=jnp.asarray(edge_i),
+        edge_j=jnp.asarray(edge_j),
+        measurements=jnp.stack(meas),
+        information=jnp.asarray(np.stack(info), poses_odo.dtype),
+        n_fixed=1,
+    )
+    if pgo_config is None:
+        pgo_config = pgo.PGOConfig(max_iterations=30)
+    result = pgo.solve_pgo(graph, pgo_config)
+    return result, poses_odo

@@ -163,3 +163,13 @@ def test_ba_robust_loss_downweights_outliers():
     err_robust = float(jnp.max(jnp.abs(res_robust.points - gt.points)))
     assert err_robust < 0.01
     assert err_robust < err_plain / 5
+
+
+def test_ba_host_loop_matches_device_loop():
+    start, gt = make_synthetic_ba(C=4, L=25, n_fixed=2, seed=11)
+    cfg = ba.BAConfig(max_iterations=10)
+    res_dev = ba.solve_ba(start, cfg)
+    res_host = ba.solve_ba(start, cfg, host_loop=True)
+    np.testing.assert_allclose(res_host.camera_params, res_dev.camera_params, atol=1e-10)
+    np.testing.assert_allclose(res_host.points, res_dev.points, atol=1e-10)
+    assert int(res_host.iterations) == int(res_dev.iterations)
