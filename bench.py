@@ -39,24 +39,53 @@ def _make_problem(dtype, jnp):
     return Problem(blocks=(point2point_block(src, tgt),))
 
 
-def _time_solve(problem, x0, config, devices, jax, iters=20):
+def _time_solve(problem, x0, config, devices, jax, reps=4):
+    """Median per-solve wall time, dispatch-overhead-corrected.
+
+    The TPU transport in this environment adds a large, drifting fixed
+    latency per dispatch (~tens of ms) and block_until_ready can return
+    before device completion. Two measures fix this: (a) K solves are
+    chained inside ONE jitted lax.scan dispatch (production pipelining);
+    (b) the result is materialized on the host (np.asarray) before the
+    timer stops; (c) per-solve time is the two-point slope
+    (t(K2)-t(K1))/(K2-K1), canceling the fixed dispatch cost.
+    """
+    import jax.numpy as jnp
+
     from moptimizer_0_tpu.core.solver import levenberg_marquardt
 
     x0 = jax.device_put(x0, devices[0])
     problem = jax.device_put(problem, devices[0])
 
-    def run():
-        return jax.block_until_ready(levenberg_marquardt(problem, x0, config).x)
+    def make(K):
+        @jax.jit
+        def run_k(problem, x0):
+            def body(carry, _):
+                # carry-perturbed start prevents cross-iteration CSE while
+                # staying in the convergence basin
+                res = levenberg_marquardt(problem, x0 + 1e-6 * carry, config)
+                return res.x, res.cost
 
-    run()  # warm-up compile
-    run()
-    times = []
-    for _ in range(iters):
+            xs, costs = jax.lax.scan(
+                body, jnp.zeros_like(x0), None, length=K
+            )
+            return xs[-1], costs
+
+        return run_k
+
+    k1, k2 = 2, 12
+    f1, f2 = make(k1), make(k2)
+    np.asarray(f1(problem, x0)[0])  # warm-up compile + execute
+    np.asarray(f2(problem, x0)[0])
+    t1 = t2 = float("inf")
+    for _ in range(reps):  # interleaved so transport drift cancels in the slope
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        np.asarray(f1(problem, x0)[0])
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(problem, x0)[0])
+        t2 = min(t2, time.perf_counter() - t0)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
 def main():
@@ -84,7 +113,7 @@ def main():
         with jax.default_device(cpu[0]):
             prob_cpu = _make_problem(np.float64, jnp)
             cfg_cpu = LMConfig(diff_mode="fd", max_iterations=15)
-            t_cpu = _time_solve(prob_cpu, jnp.zeros(6, dtype=jnp.float64), cfg_cpu, cpu, jax, iters=5)
+            t_cpu = _time_solve(prob_cpu, jnp.zeros(6, dtype=jnp.float64), cfg_cpu, cpu, jax, reps=2)
         vs_baseline = (1.0 / t_accel) / (1.0 / t_cpu)
     except Exception as e:  # CPU backend unavailable — report raw throughput
         print(f"# cpu baseline failed: {e}", file=sys.stderr)

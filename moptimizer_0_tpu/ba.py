@@ -247,54 +247,23 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
     return d_cam, d_pt
 
 
-@partial(jax.jit, static_argnames=("config",))
-def ba_step(problem, lam, config=BAConfig()):
-    """One outer LM iteration (jitted; inner trial loop unrolled since
-    inner_iterations is static and ≤3).
+def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iterations):
+    """The reference's inner LM trial loop (src/levenberg_marquadt_dyn.cpp:
+    77-114) over a (cameras, points) pair, with pluggable damped solve and
+    cost evaluation — shared by the matrix-free CG engine (this module) and
+    the dense-Schur engine (ba_dense.py).
 
-    Exposed for streaming/checkpointed drivers (step, inspect, persist,
-    continue). For full solves prefer solve_ba: the single-dispatch
-    device loop overlaps the gather/segment pipeline better than host
-    stepping (measured 10.8 s vs 28 s for a 15-iteration, 500k-observation
-    problem — this workload is TPU gather/scatter-bound, ~50 ns per
-    (6,)-row descriptor, so anything that adds per-step latency loses).
-    Returns (cams, pts, λ', terminal, status, record).
+    state: dict with cams/pts/lam/nu/y/rho/status/stop/terminal.
+    solve_fn(lam) -> (d_cam, d_pt); cost_fn(cams, pts) -> scalar.
     """
-    dtype = problem.camera_params.dtype
+    dtype = y0.dtype
     eps = jnp.finfo(dtype).eps
 
-    r, A, B = _linearize(problem)
-    U, V, W, g, h = _gn_blocks(problem, r, A, B)
-    y0 = jnp.sum(r * r)
-
-    converged0 = jnp.abs(y0) < 8 * eps
-    max_diag = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
-    )
-    lam = jnp.where(lam < 0.0, config.init_lambda_factor * max_diag, lam)
-
-    state = dict(
-        cams=problem.camera_params,
-        pts=problem.points,
-        lam=lam,
-        nu=jnp.asarray(2.0, dtype),
-        y=y0,
-        rho=jnp.asarray(jnp.nan, dtype),
-        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
-        stop=converged0,
-        terminal=converged0,
-    )
-
-    b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
-
-    for _ in range(config.inner_iterations):  # static unroll, masked by stop
-        d_cam, d_pt = _solve_delta(problem, U, V, W, g, h, state["lam"], config)
-        cams_i = problem.camera_params + d_cam
-        pts_i = problem.points + d_pt
-        yi = compute_cost(
-            dataclasses.replace(problem, camera_params=cams_i, points=pts_i)
-        )
+    for _ in range(inner_iterations):  # static unroll, masked by stop
+        d_cam, d_pt = solve_fn(state["lam"])
+        cams_i = cams0 + d_cam
+        pts_i = pts0 + d_pt
+        yi = cost_fn(cams_i, pts_i)
 
         is_nan = jnp.isnan(yi)
         delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
@@ -341,6 +310,72 @@ def ba_step(problem, lam, config=BAConfig()):
         state = jax.tree_util.tree_map(
             lambda old, new: jnp.where(frozen, old, new), state, trial
         )
+    return state
+
+
+def _lm_init_state(cams, pts, lam, y0, dtype):
+    converged0 = jnp.abs(y0) < 8 * jnp.finfo(dtype).eps
+    return dict(
+        cams=cams,
+        pts=pts,
+        lam=lam,
+        nu=jnp.asarray(2.0, dtype),
+        y=y0,
+        rho=jnp.asarray(jnp.nan, dtype),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        stop=converged0,
+        terminal=converged0,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ba_step(problem, lam, config=BAConfig()):
+    """One outer LM iteration (jitted; inner trial loop unrolled since
+    inner_iterations is static and ≤3).
+
+    Exposed for streaming/checkpointed drivers (step, inspect, persist,
+    continue). For full solves prefer solve_ba: the single-dispatch
+    device loop overlaps the gather/segment pipeline better than host
+    stepping (measured 10.8 s vs 28 s for a 15-iteration, 500k-observation
+    problem — this workload is TPU gather/scatter-bound, ~50 ns per
+    (6,)-row descriptor, so anything that adds per-step latency loses).
+    Returns (cams, pts, λ', terminal, status, record).
+    """
+    dtype = problem.camera_params.dtype
+    eps = jnp.finfo(dtype).eps
+
+    r, A, B = _linearize(problem)
+    U, V, W, g, h = _gn_blocks(problem, r, A, B)
+    y0 = jnp.sum(r * r)
+
+    converged0 = jnp.abs(y0) < 8 * eps
+    max_diag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
+    )
+    lam = jnp.where(lam < 0.0, config.init_lambda_factor * max_diag, lam)
+
+    state = _lm_init_state(problem.camera_params, problem.points, lam, y0, dtype)
+    b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+
+    def solve_fn(lam_k):
+        return _solve_delta(problem, U, V, W, g, h, lam_k, config)
+
+    def cost_fn(cams_i, pts_i):
+        return compute_cost(
+            dataclasses.replace(problem, camera_params=cams_i, points=pts_i)
+        )
+
+    state = _lm_trials(
+        state,
+        y0,
+        b_flat,
+        problem.camera_params,
+        problem.points,
+        solve_fn,
+        cost_fn,
+        config.inner_iterations,
+    )
 
     terminal = converged0 | state["terminal"]
     status = jnp.where(

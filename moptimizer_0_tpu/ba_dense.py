@@ -1,0 +1,403 @@
+"""Dense-Schur bundle adjustment — the explicit-Schur engine, built for MXU.
+
+Why a second engine (measured on TPU v5e, benchmarks/seg_*.py): row-granular
+gathers and scatters (`jax.ops.segment_sum`, fancy indexing) run ~30× off
+HBM speed-of-light on TPU — the hardware moves one descriptor per row — and
+the matrix-free Schur-CG engine (ba.py) pays that cost 2 gathers + 2
+segment-sums per CG iteration. This engine removes EVERY row-granular op
+from the hot path:
+
+* observations are **grouped by landmark** once at build time (host-side
+  argsort + padding to a dense (L, K) grid): landmark-axis reductions become
+  masked dense sums over K, and per-observation landmark lookups become
+  broadcasts;
+* camera-axis gathers and reductions become **one-hot matmuls**
+  (ops/segmented.py) that stream on the MXU — the incidence never changes,
+  so the one-hot pattern is fused from the integer cam-id grid each use;
+* the Schur complement S = U' − W V'⁻¹ Wᵀ (6C × 6C) is **materialized
+  explicitly** by blocked MXU accumulation (lax.scan over landmark chunks of
+  the per-chunk dense camera-incidence tensor A_l = Σ_k 1[cam=c]·W_lk) and
+  the camera system is solved by a single Cholesky — no CG loop, no
+  per-iteration row ops. The TPU answer to Ceres's DENSE_SCHUR.
+
+Cost model: the S build is 2·(6C)²·(3L)/2 FLOPs of pure f32 matmul — at
+C=200, L=50k that is ~0.4 TFLOP-scale work the MXU eats in ms — plus
+O(L·K) element streams. Memory is O(L·K + chunk·C·18 + (6C)²); the dense
+engine is the right choice up to C ≈ 1500 ((6C)² ≈ 81M f32). Beyond that,
+or when landmark valence is extremely skewed (padding factor L·K/O large),
+fall back to ba.solve_ba's matrix-free CG.
+
+Same problem type (ba.BAProblem), same LM schedule (reference
+src/levenberg_marquadt_dyn.cpp:34-119 λ/ν/ρ rules via ba._lm_trials), same
+result type (ba.BAResult).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moptimizer_0_tpu import ba
+from moptimizer_0_tpu.core.solver import Status
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GroupedBA:
+    """Landmark-grouped observation grid (built host-side, once).
+
+    pixels:  (L, K, 2) measured projections, 0 in padding slots.
+    cam_ids: (L, K) int32 camera of each slot, 0 in padding slots.
+    mask:    (L, K) 1.0 for real observations, 0.0 for padding.
+    """
+
+    pixels: jax.Array
+    cam_ids: jax.Array
+    mask: jax.Array
+
+
+def group_by_landmark(problem):
+    """Reorder a BAProblem's observation arrays into the (L, K) grid.
+
+    Host-side numpy, run once per problem build (outside jit); K is the
+    maximum number of observations of any landmark.
+    """
+    pt_idx = np.asarray(problem.pt_idx)
+    cam_idx = np.asarray(problem.cam_idx)
+    pixels = np.asarray(problem.pixels)
+    L = problem.points.shape[0]
+    dtype = pixels.dtype
+
+    counts = np.bincount(pt_idx, minlength=L)
+    K = max(int(counts.max()), 1)
+    order = np.argsort(pt_idx, kind="stable")
+    # slot of each (sorted) observation within its landmark group
+    starts = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(pt_idx)) - starts[pt_idx[order]]
+
+    grid_pix = np.zeros((L, K, 2), dtype=dtype)
+    grid_cam = np.zeros((L, K), dtype=np.int32)
+    grid_mask = np.zeros((L, K), dtype=dtype)
+    rows = pt_idx[order]
+    grid_pix[rows, slot] = pixels[order]
+    grid_cam[rows, slot] = cam_idx[order]
+    grid_mask[rows, slot] = 1.0
+    return GroupedBA(
+        pixels=jnp.asarray(grid_pix),
+        cam_ids=jnp.asarray(grid_cam),
+        mask=jnp.asarray(grid_mask),
+    )
+
+
+def _cam_onehot(cam_ids, mask, C, dtype):
+    """(L, K, C) one-hot of the camera grid, zero in padding slots.
+
+    Built by iota-compare so XLA fuses it into the consuming matmul instead
+    of storing O·C floats in HBM.
+    """
+    oh = (cam_ids[..., None] == jnp.arange(C, dtype=cam_ids.dtype)).astype(dtype)
+    return oh * mask[..., None]
+
+
+def _linearize_grouped(cams, pts, intr, grouped):
+    """Masked residuals + Jacobians on the (L, K) grid.
+
+    r (L,K,2), A = ∂r/∂cam (L,K,2,6), B = ∂r/∂pt (L,K,2,3). Padding slots
+    are forced to exactly 0 with jnp.where so that garbage projections
+    (slot camera 0 may put the point behind the lens) cannot leak NaN/Inf.
+    """
+    C = cams.shape[0]
+    cam_g = jnp.einsum(
+        "lkc,cp->lkp",
+        _cam_onehot(grouped.cam_ids, grouped.mask, C, cams.dtype),
+        cams,
+    )  # (L,K,6) gather-as-matmul
+
+    def rj(cam, pt, pix):
+        r = ba._residual(cam, pt, pix, intr)
+        A = jax.jacfwd(ba._residual, argnums=0)(cam, pt, pix, intr)
+        B = jax.jacfwd(ba._residual, argnums=1)(cam, pt, pix, intr)
+        return r, A, B
+
+    r, A, B = jax.vmap(jax.vmap(rj, (0, None, 0)))(cam_g, pts, grouped.pixels)
+    m = grouped.mask
+    r = jnp.where(m[..., None] > 0, r, 0.0)
+    A = jnp.where(m[..., None, None] > 0, A, 0.0)
+    B = jnp.where(m[..., None, None] > 0, B, 0.0)
+    return r, A, B
+
+
+def _cost_grouped(cams, pts, intr, grouped):
+    C = cams.shape[0]
+    cam_g = jnp.einsum(
+        "lkc,cp->lkp",
+        _cam_onehot(grouped.cam_ids, grouped.mask, C, cams.dtype),
+        cams,
+    )
+    r = jax.vmap(jax.vmap(ba._residual, (0, None, 0, None)), (0, 0, 0, None))(
+        cam_g, pts, grouped.pixels, intr
+    )
+    r = jnp.where(grouped.mask[..., None] > 0, r, 0.0)
+    return jnp.sum(r * r)
+
+
+def _gn_blocks_grouped(grouped, r, A, B, C, loss):
+    """Gauss-Newton blocks, all dense: U,g by one-hot matmul over cameras,
+    V,h by masked sum over the K axis, W kept on the grid.
+
+    Robust-loss weight w = loss(‖r‖²) applies to H,b only (reference
+    linearization.h:108-115)."""
+    if loss is not None:
+        w = loss.weight(jnp.sum(r * r, axis=-1))  # (L,K)
+        w = jnp.where(grouped.mask > 0, w, 0.0)
+        Aw = w[..., None, None] * A
+        Bw = w[..., None, None] * B
+        rw = w[..., None] * r
+    else:
+        Aw, Bw, rw = A, B, r
+
+    oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, r.dtype)  # (L,K,C)
+    AtA = jnp.einsum("lkij,lkim->lkjm", Aw, A)  # (L,K,6,6)
+    U = jnp.einsum("lkc,lkjm->cjm", oh, AtA)  # one-hot matmul → (C,6,6)
+    V = jnp.einsum("lkij,lkim->ljm", Bw, B)  # sum over K → (L,3,3)
+    W = jnp.einsum("lkij,lkim->lkjm", Aw, B)  # (L,K,6,3)
+    Ar = jnp.einsum("lkij,lki->lkj", A, rw)  # (L,K,6)
+    g = jnp.einsum("lkc,lkj->cj", oh, Ar)  # (C,6)
+    h = jnp.einsum("lkij,lki->lj", B, rw)  # (L,3)
+    return U, V, W, g, h
+
+
+def _tri_inv_lower(Lmat):
+    """Closed-form inverse of a batched 3×3 lower-triangular matrix."""
+    a = Lmat[..., 0, 0]
+    b = Lmat[..., 1, 0]
+    c = Lmat[..., 1, 1]
+    d = Lmat[..., 2, 0]
+    e = Lmat[..., 2, 1]
+    f = Lmat[..., 2, 2]
+    ia = 1.0 / a
+    ic = 1.0 / c
+    if_ = 1.0 / f
+    zero = jnp.zeros_like(a)
+    row0 = jnp.stack([ia, zero, zero], axis=-1)
+    row1 = jnp.stack([-b * ia * ic, ic, zero], axis=-1)
+    row2 = jnp.stack(
+        [(b * e * ic - d) * ia * if_, -e * ic * if_, if_], axis=-1
+    )
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512):
+    """Explicit S = blockdiag(U') − Σ_l Ã_l Ã_lᵀ by blocked MXU accumulation.
+
+    Ã_l = (Σ_k 1[cam=c] W_lk) · Linv_lᵀ where V'⁻¹ = Linvᵀ·Linv. The scan
+    materializes only a (chunk, C, 6, 3) camera-incidence tensor at a time;
+    each chunk contributes one (6C, 3·chunk)·(3·chunk, 6C) matmul.
+    """
+    L, K = grouped.cam_ids.shape
+    C = U_d.shape[0]
+    dtype = U_d.dtype
+
+    # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3)
+    G = jnp.einsum("lkij,lmj->lkim", W, Vinv_chol)
+
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+    if pad:
+        G = jnp.pad(G, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        cam_ids = jnp.pad(grouped.cam_ids, ((0, pad), (0, 0)))
+        mask = jnp.pad(grouped.mask, ((0, pad), (0, 0)))
+    else:
+        cam_ids, mask = grouped.cam_ids, grouped.mask
+    Gc = G.reshape(n_chunks, chunk, K, 6, 3)
+    cc = cam_ids.reshape(n_chunks, chunk, K)
+    mc = mask.reshape(n_chunks, chunk, K)
+
+    def body(S, args):
+        Gk, ck, mk = args
+        oh = (ck[..., None] == jnp.arange(C, dtype=ck.dtype)).astype(dtype)
+        oh = oh * mk[..., None]  # (chunk,K,C)
+        Ac = jnp.einsum("qkc,qkim->qcim", oh, Gk)  # (chunk,C,6,3)
+        A2 = Ac.transpose(0, 3, 1, 2).reshape(chunk * 3, C * 6)
+        return S + A2.T @ A2, None
+
+    S_corr, _ = jax.lax.scan(
+        body, jnp.zeros((C * 6, C * 6), dtype), (Gc, cc, mc)
+    )
+
+    S = -S_corr
+    idx = jnp.arange(C)
+    # add U' on the 6×6 diagonal blocks
+    S = S.reshape(C, 6, C, 6)
+    S = S.at[idx, :, idx, :].add(U_d)
+    S = S.reshape(C * 6, C * 6)
+
+    # gauge fixing: identity rows/cols for fixed cameras
+    free = jnp.repeat(fixed_mask, 6)  # (6C,) 1.0 = free
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    return S
+
+
+def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk):
+    """One damped dense-Schur solve → (δcam (C,6), δpt (L,3))."""
+    dtype = U.dtype
+    U_d = ba._damp_blocks(U, lam)
+    V_d = ba._damp_blocks(V, lam) + 1e-12 * jnp.eye(3, dtype=dtype)
+    # V'⁻¹ via Cholesky: V' = L Lᵀ → V'⁻¹ = L⁻ᵀ L⁻¹ ; Linv in closed form
+    Lv = jnp.linalg.cholesky(V_d)
+    Linv = _tri_inv_lower(Lv)  # (L,3,3)
+    Vinv = jnp.einsum("lji,ljk->lik", Linv, Linv)  # LinvᵀLinv
+
+    S = _build_schur(U_d, Linv, W, grouped, fixed_mask, chunk=chunk)
+
+    # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
+    t = jnp.einsum("lij,lj->li", Vinv, h)  # (L,3)
+    oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, dtype)
+    Wt = jnp.einsum("lkij,lj->lki", W, t)  # (L,K,6)
+    red = jnp.einsum("lkc,lki->ci", oh, Wt)  # (C,6)
+    rhs = -(g - red)
+    rhs = (rhs * fixed_mask[:, None]).reshape(-1)
+
+    cf = jax.scipy.linalg.cho_factor(S)
+    d_cam = jax.scipy.linalg.cho_solve(cf, rhs).reshape(C, 6)
+    d_cam = d_cam * fixed_mask[:, None]
+
+    # back-substitute: δl = V'⁻¹ (−h − Σ_k W_lkᵀ δc[cam(l,k)])
+    dc_g = jnp.einsum("lkc,ci->lki", oh, d_cam)  # (L,K,6) gather-as-matmul
+    Wtd = jnp.einsum("lkij,lki->lj", W, dc_g)  # (L,3)
+    d_pt = jnp.einsum("lij,lj->li", Vinv, -h - Wtd)
+    return d_cam, d_pt
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseBAConfig:
+    max_iterations: int = 15
+    inner_iterations: int = 3
+    init_lambda_factor: float = 1e-9
+    schur_chunk: int = 512
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ba_step_dense(problem, grouped, lam, config=DenseBAConfig()):
+    """One outer LM iteration of the dense-Schur engine.
+
+    Same contract as ba.ba_step: returns (cams, pts, λ', terminal, status,
+    record)."""
+    dtype = problem.camera_params.dtype
+    eps = jnp.finfo(dtype).eps
+    C = problem.camera_params.shape[0]
+
+    r, A, B = _linearize_grouped(
+        problem.camera_params, problem.points, problem.intrinsics, grouped
+    )
+    U, V, W, g, h = _gn_blocks_grouped(grouped, r, A, B, C, problem.loss)
+    y0 = jnp.sum(r * r)
+
+    converged0 = jnp.abs(y0) < 8 * eps
+    max_diag = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
+    )
+    lam = jnp.where(lam < 0.0, config.init_lambda_factor * max_diag, lam)
+
+    fixed_mask = (jnp.arange(C) >= problem.n_fixed_cameras).astype(dtype)
+    state = ba._lm_init_state(
+        problem.camera_params, problem.points, lam, y0, dtype
+    )
+    b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+
+    def solve_fn(lam_k):
+        return _solve_delta_dense(
+            grouped, C, U, V, W, g, h, lam_k, fixed_mask, config.schur_chunk
+        )
+
+    def cost_fn(cams_i, pts_i):
+        return _cost_grouped(cams_i, pts_i, problem.intrinsics, grouped)
+
+    state = ba._lm_trials(
+        state,
+        y0,
+        b_flat,
+        problem.camera_params,
+        problem.points,
+        solve_fn,
+        cost_fn,
+        config.inner_iterations,
+    )
+
+    terminal = converged0 | state["terminal"]
+    status = jnp.where(
+        converged0, jnp.asarray(int(Status.CONVERGED), jnp.int32), state["status"]
+    )
+    record = dict(cost=y0, cost_new=state["y"], rho=state["rho"], lam=state["lam"])
+    return state["cams"], state["pts"], state["lam"], terminal, status, record
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _solve_dense_device(problem, grouped, config=DenseBAConfig()):
+    dtype = problem.camera_params.dtype
+    n_it = config.max_iterations
+
+    trace0 = dict(
+        cost=jnp.full((n_it,), jnp.nan, dtype),
+        cost_new=jnp.full((n_it,), jnp.nan, dtype),
+        rho=jnp.full((n_it,), jnp.nan, dtype),
+        lam=jnp.full((n_it,), jnp.nan, dtype),
+    )
+    carry0 = dict(
+        cams=problem.camera_params,
+        pts=problem.points,
+        lam=jnp.asarray(-1.0, dtype),
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        done=jnp.asarray(False),
+        trace=trace0,
+    )
+
+    def cond(c):
+        return (c["it"] < n_it) & ~c["done"]
+
+    def body(c):
+        prob = dataclasses.replace(
+            problem, camera_params=c["cams"], points=c["pts"]
+        )
+        cams, pts, lam, terminal, status, record = ba_step_dense.__wrapped__(
+            prob, grouped, c["lam"], config
+        )
+        trace = {k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()}
+        return dict(
+            cams=cams,
+            pts=pts,
+            lam=lam,
+            it=jnp.where(terminal, c["it"], c["it"] + 1),
+            status=status,
+            done=terminal,
+            trace=trace,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return ba.BAResult(
+        camera_params=c["cams"],
+        points=c["pts"],
+        status=c["status"],
+        iterations=c["it"],
+        cost=_cost_grouped(
+            c["cams"], c["pts"], problem.intrinsics, grouped
+        ),
+        trace=c["trace"],
+    )
+
+
+def solve_ba_dense(problem, config=DenseBAConfig(), grouped=None):
+    """Full LM solve with the dense-Schur engine.
+
+    Groups observations by landmark on the host (once — pass `grouped` to
+    reuse across solves of the same incidence), then runs the whole solve in
+    one jitted lax.while_loop dispatch.
+    """
+    if grouped is None:
+        grouped = group_by_landmark(problem)
+    return _solve_dense_device(problem, grouped, config)

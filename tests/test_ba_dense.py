@@ -1,0 +1,226 @@
+"""Dense-Schur BA engine: grouping, algebra vs the CG engine, convergence.
+
+The dense engine must be algebraically identical to ba.py's matrix-free
+engine (same GN blocks, same LM schedule); only the linear-system path
+differs (explicit S + Cholesky vs matrix-free CG). So the two engines'
+trajectories agree to solver tolerance, and both match the dense
+(6C+3L)-oracle step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moptimizer_0_tpu import ba, ba_dense
+from moptimizer_0_tpu.core.loss import Huber
+from moptimizer_0_tpu.core.solver import Status
+
+from test_ba import make_synthetic_ba
+
+
+def test_grouping_roundtrip():
+    """The (L, K) grid contains exactly the original observations."""
+    start, _ = make_synthetic_ba(C=5, L=17, noise=0.5, seed=3)
+    g = ba_dense.group_by_landmark(start)
+    L = start.points.shape[0]
+    K = g.pixels.shape[1]
+    assert g.pixels.shape == (L, K, 2)
+    # every original observation appears in its landmark's row
+    pix = np.asarray(start.pixels)
+    cam = np.asarray(start.cam_idx)
+    pt = np.asarray(start.pt_idx)
+    gm = np.asarray(g.mask)
+    gp = np.asarray(g.pixels)
+    gc = np.asarray(g.cam_ids)
+    assert gm.sum() == len(pt)
+    for o in range(len(pt)):
+        row = gp[pt[o]][gm[pt[o]] > 0]
+        cams_row = gc[pt[o]][gm[pt[o]] > 0]
+        hits = np.where((np.abs(row - pix[o]) < 1e-12).all(axis=1))[0]
+        assert len(hits) >= 1
+        assert cam[o] in cams_row
+
+
+def test_grouped_cost_matches_flat():
+    start, _ = make_synthetic_ba(C=4, L=23, noise=1.0, seed=1)
+    g = ba_dense.group_by_landmark(start)
+    c_flat = float(ba.compute_cost(start))
+    c_grp = float(
+        ba_dense._cost_grouped(
+            start.camera_params, start.points, start.intrinsics, g
+        )
+    )
+    assert abs(c_flat - c_grp) < 1e-9 * max(1.0, abs(c_flat))
+
+
+def test_gn_blocks_match_flat_engine():
+    """U, V, g, h from the grouped/one-hot path ≡ the flat segment_sum path."""
+    start, _ = make_synthetic_ba(C=4, L=19, noise=0.8, seed=2)
+    g = ba_dense.group_by_landmark(start)
+    C = start.camera_params.shape[0]
+
+    r_f, A_f, B_f = ba._linearize(start)
+    U_f, V_f, W_f, g_f, h_f = ba._gn_blocks(start, r_f, A_f, B_f)
+
+    r, A, B = ba_dense._linearize_grouped(
+        start.camera_params, start.points, start.intrinsics, g
+    )
+    U, V, W, gg, h = ba_dense._gn_blocks_grouped(g, r, A, B, C, start.loss)
+
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U_f), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(V_f), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(g_f), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_f), rtol=1e-9, atol=1e-9)
+
+
+def test_dense_step_matches_dense_oracle():
+    """One damped dense-Schur solve ≡ the full (6C+3L) dense damped solve."""
+    start, _ = make_synthetic_ba(C=4, L=12, noise=0.5, seed=5, n_fixed=1)
+    g = ba_dense.group_by_landmark(start)
+    C = start.camera_params.shape[0]
+    L = start.points.shape[0]
+    dtype = start.camera_params.dtype
+    lam = jnp.asarray(1e-3, dtype)
+
+    r, A, B = ba_dense._linearize_grouped(
+        start.camera_params, start.points, start.intrinsics, g
+    )
+    U, V, W, gg, h = ba_dense._gn_blocks_grouped(g, r, A, B, C, start.loss)
+    fixed_mask = (jnp.arange(C) >= start.n_fixed_cameras).astype(dtype)
+    d_cam, d_pt = ba_dense._solve_delta_dense(
+        g, C, U, V, W, gg, h, lam, fixed_mask, chunk=5
+    )
+
+    # dense oracle on the flat problem (same construction as test_ba's oracle)
+    r_f, A_f, B_f = ba._linearize(start)
+    O = r_f.shape[0]
+    n = 6 * C + 3 * L
+    J = np.zeros((2 * O, n))
+    for o in range(O):
+        c = int(start.cam_idx[o])
+        l = int(start.pt_idx[o])
+        J[2 * o : 2 * o + 2, 6 * c : 6 * c + 6] = np.asarray(A_f[o])
+        J[2 * o : 2 * o + 2, 6 * C + 3 * l : 6 * C + 3 * l + 3] = np.asarray(B_f[o])
+    rv = np.asarray(r_f).reshape(-1)
+    H = J.T @ J
+    b = J.T @ rv
+    Hd = H + float(lam) * np.diag(np.diag(H)) + 1e-12 * np.eye(n)
+    # gauge fixing: remove fixed-camera columns
+    keep = np.ones(n, dtype=bool)
+    keep[: 6 * start.n_fixed_cameras] = False
+    delta = np.zeros(n)
+    delta[keep] = np.linalg.solve(Hd[np.ix_(keep, keep)], -b[keep])
+
+    got = np.concatenate(
+        [np.asarray(d_cam).reshape(-1), np.asarray(d_pt).reshape(-1)]
+    )
+    np.testing.assert_allclose(got, delta, rtol=1e-6, atol=1e-9)
+
+
+def test_dense_engine_matches_cg_engine_trajectory():
+    start, _ = make_synthetic_ba(C=5, L=40, noise=0.2, seed=7)
+    res_cg = ba.solve_ba(start, ba.BAConfig(max_iterations=8, cg_iterations=200,
+                                            cg_tol=1e-12))
+    res_d = ba_dense.solve_ba_dense(
+        start, ba_dense.DenseBAConfig(max_iterations=8)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d.camera_params),
+        np.asarray(res_cg.camera_params),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d.trace["cost"]),
+        np.asarray(res_cg.trace["cost"]),
+        rtol=1e-6,
+        atol=1e-10,
+    )
+
+
+def test_dense_converges_to_ground_truth():
+    start, gt = make_synthetic_ba(C=4, L=30, noise=0.0, seed=0)
+    res = ba_dense.solve_ba_dense(start, ba_dense.DenseBAConfig(max_iterations=20))
+    assert float(res.cost) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(res.camera_params), np.asarray(gt.camera_params), atol=1e-5
+    )
+
+
+def test_dense_robust_loss_and_fixed_cameras():
+    start, gt = make_synthetic_ba(C=4, L=30, noise=0.1, seed=4, n_fixed=2)
+    # corrupt a few observations
+    pix = np.asarray(start.pixels).copy()
+    pix[::11] += 80.0
+    start = dataclasses.replace(
+        start, pixels=jnp.asarray(pix), loss=Huber(delta=2.0)
+    )
+    res = ba_dense.solve_ba_dense(start, ba_dense.DenseBAConfig(max_iterations=25))
+    # fixed cameras untouched
+    np.testing.assert_array_equal(
+        np.asarray(res.camera_params[:2]), np.asarray(start.camera_params[:2])
+    )
+    # inliers still well explained despite outliers
+    med = np.median(
+        np.linalg.norm(
+            np.asarray(ba.residuals_all(
+                dataclasses.replace(
+                    start, camera_params=res.camera_params, points=res.points
+                )
+            )),
+            axis=1,
+        )
+    )
+    assert med < 1.0
+
+
+def test_dense_uneven_valence():
+    """Landmarks with wildly different observation counts (padding stress)."""
+    rng = np.random.default_rng(11)
+    C, L = 6, 15
+    dtype = jnp.float64
+    pts = rng.uniform(-2, 2, size=(L, 3)) + np.array([0.0, 0.0, 8.0])
+    cams = np.stack(
+        [
+            np.concatenate(
+                [[1.2 * i - 3.0, 0.1 * rng.normal(), 0.0], 0.03 * rng.normal(size=3)]
+            )
+            for i in range(C)
+        ]
+    )
+    # landmark l seen by (l % C) + 1 cameras
+    cam_idx, pt_idx = [], []
+    for l in range(L):
+        for c in range((l % C) + 1):
+            cam_idx.append(c)
+            pt_idx.append(l)
+    cam_idx = np.asarray(cam_idx)
+    pt_idx = np.asarray(pt_idx)
+    prob = ba.BAProblem(
+        camera_params=jnp.asarray(cams, dtype),
+        points=jnp.asarray(pts, dtype),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        pixels=jnp.zeros((len(cam_idx), 2), dtype),
+        intrinsics=jnp.asarray([500.0, 500.0, 320.0, 240.0], dtype),
+        n_fixed_cameras=2,
+    )
+    pixels = jax.vmap(ba._project, (0, 0, None))(
+        prob.camera_params[prob.cam_idx], prob.points[prob.pt_idx], prob.intrinsics
+    )
+    prob = dataclasses.replace(prob, pixels=pixels)
+    start = dataclasses.replace(
+        prob,
+        camera_params=prob.camera_params
+        + 0.01 * jnp.asarray(rng.normal(size=cams.shape), dtype)
+        * (jnp.arange(C) >= 2)[:, None],
+        points=prob.points + 0.05 * jnp.asarray(rng.normal(size=pts.shape), dtype),
+    )
+    res = ba_dense.solve_ba_dense(start, ba_dense.DenseBAConfig(max_iterations=25))
+    assert float(res.cost) < 1e-9
+    assert int(res.status) in (
+        int(Status.CONVERGED),
+        int(Status.SMALL_DELTA),
+        int(Status.MAXIMUM_ITERATIONS_REACHED),
+    )
