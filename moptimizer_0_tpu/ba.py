@@ -255,19 +255,29 @@ def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iteratio
 
     state: dict with cams/pts/lam/nu/y/rho/status/stop/terminal.
     solve_fn(lam) -> (d_cam, d_pt); cost_fn(cams, pts) -> scalar.
+
+    Runs as a lax.while_loop so an accepted first trial (the common case)
+    pays for exactly one damped solve + one cost evaluation — a statically
+    unrolled variant would execute all `inner_iterations` solves and mask
+    the results, tripling the per-outer-iteration cost of the dense-Schur
+    engine.
     """
     dtype = y0.dtype
     eps = jnp.finfo(dtype).eps
+    state = dict(state, k=jnp.zeros((), jnp.int32))
 
-    for _ in range(inner_iterations):  # static unroll, masked by stop
-        d_cam, d_pt = solve_fn(state["lam"])
+    def cond(s):
+        return (s["k"] < inner_iterations) & ~s["stop"]
+
+    def body(s):
+        d_cam, d_pt = solve_fn(s["lam"])
         cams_i = cams0 + d_cam
         pts_i = pts0 + d_pt
         yi = cost_fn(cams_i, pts_i)
 
         is_nan = jnp.isnan(yi)
         delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
-        denom = jnp.dot(delta_flat, state["lam"] * delta_flat - b_flat)
+        denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
         rho = (y0 - yi) / denom
         small = jnp.max(jnp.abs(delta_flat)) < jnp.sqrt(eps)
         reject = rho < 0.0
@@ -285,31 +295,30 @@ def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iteratio
                     int(Status.CONVERGED),
                     int(Status.SMALL_DELTA),
                 ),
-                state["status"],
+                s["status"],
             ),
         ).astype(jnp.int32)
 
         gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        trial = dict(
-            cams=jnp.where(accept, cams_i, state["cams"]),
-            pts=jnp.where(accept, pts_i, state["pts"]),
+        return dict(
+            cams=jnp.where(accept, cams_i, s["cams"]),
+            pts=jnp.where(accept, pts_i, s["pts"]),
             lam=jnp.where(
                 accept,
-                state["lam"] * gain,
-                jnp.where(retry, state["nu"] * state["lam"], state["lam"]),
+                s["lam"] * gain,
+                jnp.where(retry, s["nu"] * s["lam"], s["lam"]),
             ),
-            nu=jnp.where(retry, 2.0 * state["nu"], state["nu"]),
-            y=jnp.where(accept | is_nan | term_small, yi, state["y"]),
+            nu=jnp.where(retry, 2.0 * s["nu"], s["nu"]),
+            y=jnp.where(accept | is_nan | term_small, yi, s["y"]),
             rho=rho,
             status=status,
             stop=accept | is_nan | term_small,
             terminal=is_nan | term_small,
+            k=s["k"] + 1,
         )
-        # frozen once stop was already set on a previous trial
-        frozen = state["stop"]
-        state = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(frozen, old, new), state, trial
-        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    del state["k"]
     return state
 
 

@@ -102,27 +102,78 @@ def _cam_onehot(cam_ids, mask, C, dtype):
     return oh * mask[..., None]
 
 
-def _linearize_grouped(cams, pts, intr, grouped):
-    """Masked residuals + Jacobians on the (L, K) grid.
+def _camera_cache(cams, with_jacobian=True):
+    """Per-camera rotation/translation (+ SO(3) right Jacobian).
 
-    r (L,K,2), A = ∂r/∂cam (L,K,2,6), B = ∂r/∂pt (L,K,2,3). Padding slots
-    are forced to exactly 0 with jnp.where so that garbage projections
-    (slot camera 0 may put the point behind the lens) cannot leak NaN/Inf.
+    The SE(3) exp map is the only transcendental work in the BA residual;
+    evaluating it per CAMERA (C rows) instead of per OBSERVATION (O rows,
+    as a naive vmapped residual does) removes O(O) sin/cos/sqrt from every
+    linearization and every cost trial. Packed flat so one one-hot matmul
+    gathers it onto the (L, K) grid.
     """
-    C = cams.shape[0]
-    cam_g = jnp.einsum(
-        "lkc,cp->lkp",
-        _cam_onehot(grouped.cam_ids, grouped.mask, C, cams.dtype),
-        cams,
-    )  # (L,K,6) gather-as-matmul
+    from moptimizer_0_tpu.lie import so3
 
-    def rj(cam, pt, pix):
-        r = ba._residual(cam, pt, pix, intr)
-        A = jax.jacfwd(ba._residual, argnums=0)(cam, pt, pix, intr)
-        B = jax.jacfwd(ba._residual, argnums=1)(cam, pt, pix, intr)
+    def one(cam):
+        t, w = cam[:3], cam[3:]
+        R = so3.exp(w)
+        cols = [R.reshape(9), t]
+        if with_jacobian:
+            cols.append(so3.right_jacobian(w).reshape(9))
+        return jnp.concatenate(cols)
+
+    return jax.vmap(one)(cams)  # (C, 12 or 21)
+
+
+def _gather_cache(cache, grouped, C):
+    return jnp.einsum(
+        "lkc,cq->lkq",
+        _cam_onehot(grouped.cam_ids, grouped.mask, C, cache.dtype),
+        cache,
+    )  # (L, K, q)
+
+
+def _linearize_grouped(cams, pts, intr, grouped):
+    """Masked residuals + analytic Jacobians on the (L, K) grid.
+
+    r (L,K,2), A = ∂r/∂cam (L,K,2,6), B = ∂r/∂pt (L,K,2,3), closed form
+    (pinned against jacfwd in tests/test_ba_dense.py):
+
+        pc = R p + t,  π = (fx·x/z + cx, fy·y/z + cy),  r = pix − π
+        ∂π/∂pc = [[fx/z, 0, −fx·x/z²], [0, fy/z, −fy·y/z²]]
+        ∂pc/∂t = I,  ∂pc/∂ω = −R [p]× Jr(ω),  ∂pc/∂p = R
+
+    (Exp(ω+δ) ≈ Exp(ω)Exp(Jr δ) gives the −R[p]×Jr term; reference
+    parameterize-then-Exp convention, tst/point2point.cpp:31.) Padding
+    slots are forced to exactly 0 with jnp.where so garbage projections
+    (a padded slot may put the point behind camera 0) cannot leak NaN/Inf.
+    """
+    from moptimizer_0_tpu.lie import so3
+
+    C = cams.shape[0]
+    fx, fy = intr[0], intr[1]
+    cx, cy = intr[2], intr[3]
+    g21 = _gather_cache(_camera_cache(cams), grouped, C)  # (L,K,21)
+
+    def rj(q, p, pix):
+        R = q[:9].reshape(3, 3)
+        t = q[9:12]
+        Jr = q[12:].reshape(3, 3)
+        pc = R @ p + t
+        x, y, z = pc[0], pc[1], pc[2]
+        iz = 1.0 / z
+        r = pix - jnp.stack([fx * x * iz + cx, fy * y * iz + cy])
+        Jpi = jnp.stack(
+            [
+                jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz * iz]),
+                jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz * iz]),
+            ]
+        )  # (2,3)
+        JpiR = Jpi @ R
+        B = -JpiR
+        A = jnp.concatenate([-Jpi, JpiR @ (so3.hat(p) @ Jr)], axis=1)
         return r, A, B
 
-    r, A, B = jax.vmap(jax.vmap(rj, (0, None, 0)))(cam_g, pts, grouped.pixels)
+    r, A, B = jax.vmap(jax.vmap(rj, (0, None, 0)))(g21, pts, grouped.pixels)
     m = grouped.mask
     r = jnp.where(m[..., None] > 0, r, 0.0)
     A = jnp.where(m[..., None, None] > 0, A, 0.0)
@@ -132,14 +183,16 @@ def _linearize_grouped(cams, pts, intr, grouped):
 
 def _cost_grouped(cams, pts, intr, grouped):
     C = cams.shape[0]
-    cam_g = jnp.einsum(
-        "lkc,cp->lkp",
-        _cam_onehot(grouped.cam_ids, grouped.mask, C, cams.dtype),
-        cams,
-    )
-    r = jax.vmap(jax.vmap(ba._residual, (0, None, 0, None)), (0, 0, 0, None))(
-        cam_g, pts, grouped.pixels, intr
-    )
+    fx, fy = intr[0], intr[1]
+    cx, cy = intr[2], intr[3]
+    g12 = _gather_cache(_camera_cache(cams, with_jacobian=False), grouped, C)
+
+    def res(q, p, pix):
+        pc = q[:9].reshape(3, 3) @ p + q[9:12]
+        iz = 1.0 / pc[2]
+        return pix - jnp.stack([fx * pc[0] * iz + cx, fy * pc[1] * iz + cy])
+
+    r = jax.vmap(jax.vmap(res, (0, None, 0)))(g12, pts, grouped.pixels)
     r = jnp.where(grouped.mask[..., None] > 0, r, 0.0)
     return jnp.sum(r * r)
 

@@ -74,6 +74,32 @@ def test_gn_blocks_match_flat_engine():
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_f), rtol=1e-9, atol=1e-9)
 
 
+def test_analytic_jacobians_match_ad():
+    """The closed-form A, B (cached R/t/Jr path) ≡ jacfwd of ba._residual."""
+    start, _ = make_synthetic_ba(C=5, L=21, noise=0.7, seed=9)
+    g = ba_dense.group_by_landmark(start)
+    r, A, B = ba_dense._linearize_grouped(
+        start.camera_params, start.points, start.intrinsics, g
+    )
+
+    gm = np.asarray(g.mask)
+    gc = np.asarray(g.cam_ids)
+    gp = np.asarray(g.pixels)
+    for l in range(0, 21, 5):
+        for k in range(gm.shape[1]):
+            if gm[l, k] == 0:
+                continue
+            cam = start.camera_params[gc[l, k]]
+            pt = start.points[l]
+            pix = jnp.asarray(gp[l, k])
+            r_ad = ba._residual(cam, pt, pix, start.intrinsics)
+            A_ad = jax.jacfwd(ba._residual, argnums=0)(cam, pt, pix, start.intrinsics)
+            B_ad = jax.jacfwd(ba._residual, argnums=1)(cam, pt, pix, start.intrinsics)
+            np.testing.assert_allclose(np.asarray(r[l, k]), np.asarray(r_ad), rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(A[l, k]), np.asarray(A_ad), rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(B[l, k]), np.asarray(B_ad), rtol=1e-8, atol=1e-10)
+
+
 def test_dense_step_matches_dense_oracle():
     """One damped dense-Schur solve ≡ the full (6C+3L) dense damped solve."""
     start, _ = make_synthetic_ba(C=4, L=12, noise=0.5, seed=5, n_fixed=1)
