@@ -247,7 +247,10 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
     return d_cam, d_pt
 
 
-def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iterations):
+def _lm_trials(
+    state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iterations,
+    metrics_fn=None,
+):
     """The reference's inner LM trial loop (src/levenberg_marquadt_dyn.cpp:
     77-114) over a (cameras, points) pair, with pluggable damped solve and
     cost evaluation — shared by the matrix-free CG engine (this module) and
@@ -255,6 +258,9 @@ def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iteratio
 
     state: dict with cams/pts/lam/nu/y/rho/status/stop/terminal.
     solve_fn(lam) -> (d_cam, d_pt); cost_fn(cams, pts) -> scalar.
+    metrics_fn(d_cam, d_pt, lam) -> (ρ denominator δ·(λδ−b), max|δ|):
+    overrides the default b_flat-based computation — the sharded dense
+    engine supplies one whose landmark terms psum over the mesh axis.
 
     Runs as a lax.while_loop so an accepted first trial (the common case)
     pays for exactly one damped solve + one cost evaluation — a statically
@@ -276,10 +282,14 @@ def _lm_trials(state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iteratio
         yi = cost_fn(cams_i, pts_i)
 
         is_nan = jnp.isnan(yi)
-        delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
-        denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
+        if metrics_fn is None:
+            delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
+            denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
+            max_abs_delta = jnp.max(jnp.abs(delta_flat))
+        else:
+            denom, max_abs_delta = metrics_fn(d_cam, d_pt, s["lam"])
         rho = (y0 - yi) / denom
-        small = jnp.max(jnp.abs(delta_flat)) < jnp.sqrt(eps)
+        small = max_abs_delta < jnp.sqrt(eps)
         reject = rho < 0.0
         accept = ~is_nan & ~reject
         term_small = ~is_nan & reject & small

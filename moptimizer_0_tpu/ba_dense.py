@@ -181,7 +181,7 @@ def _linearize_grouped(cams, pts, intr, grouped):
     return r, A, B
 
 
-def _cost_grouped(cams, pts, intr, grouped):
+def _cost_grouped(cams, pts, intr, grouped, axis_name=None):
     C = cams.shape[0]
     fx, fy = intr[0], intr[1]
     cx, cy = intr[2], intr[3]
@@ -194,15 +194,22 @@ def _cost_grouped(cams, pts, intr, grouped):
 
     r = jax.vmap(jax.vmap(res, (0, None, 0)))(g12, pts, grouped.pixels)
     r = jnp.where(grouped.mask[..., None] > 0, r, 0.0)
-    return jnp.sum(r * r)
+    y = jnp.sum(r * r)
+    if axis_name is not None:
+        y = jax.lax.psum(y, axis_name)
+    return y
 
 
-def _gn_blocks_grouped(grouped, r, A, B, C, loss):
+def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None):
     """Gauss-Newton blocks, all dense: U,g by one-hot matmul over cameras,
     V,h by masked sum over the K axis, W kept on the grid.
 
     Robust-loss weight w = loss(‖r‖²) applies to H,b only (reference
-    linearization.h:108-115)."""
+    linearization.h:108-115).
+
+    axis_name: when running under shard_map with the landmark axis sharded,
+    the camera-axis reductions U and g contract over the (distributed) L
+    axis and are psum'd over ICI; V, W, h stay landmark-local."""
     if loss is not None:
         w = loss.weight(jnp.sum(r * r, axis=-1))  # (L,K)
         w = jnp.where(grouped.mask > 0, w, 0.0)
@@ -220,6 +227,9 @@ def _gn_blocks_grouped(grouped, r, A, B, C, loss):
     Ar = jnp.einsum("lkij,lki->lkj", A, rw)  # (L,K,6)
     g = jnp.einsum("lkc,lkj->cj", oh, Ar)  # (C,6)
     h = jnp.einsum("lkij,lki->lj", B, rw)  # (L,3)
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        g = jax.lax.psum(g, axis_name)
     return U, V, W, g, h
 
 
@@ -243,12 +253,17 @@ def _tri_inv_lower(Lmat):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512):
+def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=None):
     """Explicit S = blockdiag(U') − Σ_l Ã_l Ã_lᵀ by blocked MXU accumulation.
 
     Ã_l = (Σ_k 1[cam=c] W_lk) · Linv_lᵀ where V'⁻¹ = Linvᵀ·Linv. The scan
     materializes only a (chunk, C, 6, 3) camera-incidence tensor at a time;
     each chunk contributes one (6C, 3·chunk)·(3·chunk, 6C) matmul.
+
+    axis_name: under shard_map each device scans its landmark shard and the
+    partial correction sums psum over ICI — S lands replicated, so the
+    (6C)² Cholesky can run identically on every device (the "replicated
+    camera solve" layout of SURVEY.md §2.3).
     """
     L, K = grouped.cam_ids.shape
     C = U_d.shape[0]
@@ -277,9 +292,13 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512):
         A2 = Ac.transpose(0, 3, 1, 2).reshape(chunk * 3, C * 6)
         return S + A2.T @ A2, None
 
-    S_corr, _ = jax.lax.scan(
-        body, jnp.zeros((C * 6, C * 6), dtype), (Gc, cc, mc)
-    )
+    S0 = jnp.zeros((C * 6, C * 6), dtype)
+    if axis_name is not None:
+        # per-device partial sums vary over the mesh axis (shard_map VMA)
+        S0 = jax.lax.pcast(S0, (axis_name,), to="varying")
+    S_corr, _ = jax.lax.scan(body, S0, (Gc, cc, mc))
+    if axis_name is not None:
+        S_corr = jax.lax.psum(S_corr, axis_name)
 
     S = -S_corr
     idx = jnp.arange(C)
@@ -294,8 +313,13 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512):
     return S
 
 
-def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk):
-    """One damped dense-Schur solve → (δcam (C,6), δpt (L,3))."""
+def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk, axis_name=None):
+    """One damped dense-Schur solve → (δcam (C,6), δpt (L,3)).
+
+    Under shard_map (axis_name set) L is the local landmark shard: the
+    camera-space reductions (S, rhs) psum over the mesh; the landmark
+    back-substitution stays local, so δpt comes back sharded like the grid.
+    """
     dtype = U.dtype
     U_d = ba._damp_blocks(U, lam)
     V_d = ba._damp_blocks(V, lam) + 1e-12 * jnp.eye(3, dtype=dtype)
@@ -304,13 +328,15 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk):
     Linv = _tri_inv_lower(Lv)  # (L,3,3)
     Vinv = jnp.einsum("lji,ljk->lik", Linv, Linv)  # LinvᵀLinv
 
-    S = _build_schur(U_d, Linv, W, grouped, fixed_mask, chunk=chunk)
+    S = _build_schur(U_d, Linv, W, grouped, fixed_mask, chunk=chunk, axis_name=axis_name)
 
     # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
     t = jnp.einsum("lij,lj->li", Vinv, h)  # (L,3)
     oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, dtype)
     Wt = jnp.einsum("lkij,lj->lki", W, t)  # (L,K,6)
     red = jnp.einsum("lkc,lki->ci", oh, Wt)  # (C,6)
+    if axis_name is not None:
+        red = jax.lax.psum(red, axis_name)
     rhs = -(g - red)
     rhs = (rhs * fixed_mask[:, None]).reshape(-1)
 
@@ -333,52 +359,67 @@ class DenseBAConfig:
     schur_chunk: int = 512
 
 
-@partial(jax.jit, static_argnames=("config",))
-def ba_step_dense(problem, grouped, lam, config=DenseBAConfig()):
-    """One outer LM iteration of the dense-Schur engine.
+def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis_name=None):
+    """One outer LM iteration over explicit state arrays (axis-name aware).
 
-    Same contract as ba.ba_step: returns (cams, pts, λ', terminal, status,
-    record)."""
-    dtype = problem.camera_params.dtype
+    axis_name=None: single-device. axis_name set: running inside shard_map
+    with (pts, grouped) sharded along the landmark axis and (cams, intr,
+    lam) replicated — every cross-landmark reduction psums, so the control
+    scalars (y0, ρ, λ) are bitwise identical on all devices and the
+    while_loops stay uniform.
+    """
+    dtype = cams.dtype
     eps = jnp.finfo(dtype).eps
-    C = problem.camera_params.shape[0]
+    C = cams.shape[0]
 
-    r, A, B = _linearize_grouped(
-        problem.camera_params, problem.points, problem.intrinsics, grouped
-    )
-    U, V, W, g, h = _gn_blocks_grouped(grouped, r, A, B, C, problem.loss)
+    r, A, B = _linearize_grouped(cams, pts, intr, grouped)
+    U, V, W, g, h = _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name)
     y0 = jnp.sum(r * r)
+    v_diag_max = jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1)))
+    if axis_name is not None:
+        y0 = jax.lax.psum(y0, axis_name)
+        v_diag_max = jax.lax.pmax(v_diag_max, axis_name)
 
     converged0 = jnp.abs(y0) < 8 * eps
     max_diag = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(U, axis1=-2, axis2=-1))), v_diag_max
     )
     lam = jnp.where(lam < 0.0, config.init_lambda_factor * max_diag, lam)
 
-    fixed_mask = (jnp.arange(C) >= problem.n_fixed_cameras).astype(dtype)
-    state = ba._lm_init_state(
-        problem.camera_params, problem.points, lam, y0, dtype
-    )
-    b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+    fixed_mask = (jnp.arange(C) >= n_fixed).astype(dtype)
+    state = ba._lm_init_state(cams, pts, lam, y0, dtype)
 
     def solve_fn(lam_k):
         return _solve_delta_dense(
-            grouped, C, U, V, W, g, h, lam_k, fixed_mask, config.schur_chunk
+            grouped, C, U, V, W, g, h, lam_k, fixed_mask, config.schur_chunk,
+            axis_name,
         )
 
     def cost_fn(cams_i, pts_i):
-        return _cost_grouped(cams_i, pts_i, problem.intrinsics, grouped)
+        return _cost_grouped(cams_i, pts_i, intr, grouped, axis_name)
+
+    if axis_name is None:
+        b_flat = jnp.concatenate([g.reshape(-1), h.reshape(-1)])
+        metrics_fn = None
+    else:
+        b_flat = None
+        g_flat, h_flat = g.reshape(-1), h.reshape(-1)
+
+        def metrics_fn(d_cam, d_pt, lam_k):
+            # δ·(λδ−b): camera part replicated, landmark part psum'd
+            dc, dp = d_cam.reshape(-1), d_pt.reshape(-1)
+            denom = jnp.dot(dc, lam_k * dc - g_flat) + jax.lax.psum(
+                jnp.dot(dp, lam_k * dp - h_flat), axis_name
+            )
+            max_abs = jnp.maximum(
+                jnp.max(jnp.abs(dc)),
+                jax.lax.pmax(jnp.max(jnp.abs(dp)), axis_name),
+            )
+            return denom, max_abs
 
     state = ba._lm_trials(
-        state,
-        y0,
-        b_flat,
-        problem.camera_params,
-        problem.points,
-        solve_fn,
-        cost_fn,
-        config.inner_iterations,
+        state, y0, b_flat, cams, pts, solve_fn, cost_fn,
+        config.inner_iterations, metrics_fn=metrics_fn,
     )
 
     terminal = converged0 | state["terminal"]
@@ -387,6 +428,18 @@ def ba_step_dense(problem, grouped, lam, config=DenseBAConfig()):
     )
     record = dict(cost=y0, cost_new=state["y"], rho=state["rho"], lam=state["lam"])
     return state["cams"], state["pts"], state["lam"], terminal, status, record
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ba_step_dense(problem, grouped, lam, config=DenseBAConfig()):
+    """One outer LM iteration of the dense-Schur engine.
+
+    Same contract as ba.ba_step: returns (cams, pts, λ', terminal, status,
+    record)."""
+    return _dense_outer_step(
+        problem.camera_params, problem.points, problem.intrinsics, grouped,
+        problem.loss, problem.n_fixed_cameras, lam, config,
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -454,3 +507,108 @@ def solve_ba_dense(problem, config=DenseBAConfig(), grouped=None):
     if grouped is None:
         grouped = group_by_landmark(problem)
     return _solve_dense_device(problem, grouped, config)
+
+
+def _dense_loop_body(cams0, pts0, intr, grouped, loss, n_fixed, config, axis_name):
+    """Full LM while_loop over _dense_outer_step (runs inside shard_map)."""
+    dtype = cams0.dtype
+    n_it = config.max_iterations
+    trace0 = dict(
+        cost=jnp.full((n_it,), jnp.nan, dtype),
+        cost_new=jnp.full((n_it,), jnp.nan, dtype),
+        rho=jnp.full((n_it,), jnp.nan, dtype),
+        lam=jnp.full((n_it,), jnp.nan, dtype),
+    )
+    carry0 = dict(
+        cams=cams0,
+        pts=pts0,
+        lam=jnp.asarray(-1.0, dtype),
+        it=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
+        done=jnp.asarray(False),
+        trace=trace0,
+    )
+
+    def cond(c):
+        return (c["it"] < n_it) & ~c["done"]
+
+    def body(c):
+        cams, pts, lam, terminal, status, record = _dense_outer_step(
+            c["cams"], c["pts"], intr, grouped, loss, n_fixed, c["lam"],
+            config, axis_name,
+        )
+        trace = {k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()}
+        return dict(
+            cams=cams,
+            pts=pts,
+            lam=lam,
+            it=jnp.where(terminal, c["it"], c["it"] + 1),
+            status=status,
+            done=terminal,
+            trace=trace,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    final_cost = _cost_grouped(c["cams"], c["pts"], intr, grouped, axis_name)
+    return c["cams"], c["pts"], c["status"], c["it"], final_cost, c["trace"]
+
+
+def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data"):
+    """Distributed dense-Schur BA: landmark axis sharded over the mesh.
+
+    The (L, K) observation grid and the landmark state are sharded along L
+    (data-parallel over the scaling dimension, SURVEY.md §2.3); camera state
+    is replicated. Per outer iteration the only collectives are psums of the
+    camera-space objects — U (C·36), g (C·6), the Schur correction ((6C)²)
+    and the cost scalar — all riding ICI; the (6C)² Cholesky runs replicated
+    on every device. Landmark linearization, V/W/h and back-substitution
+    never leave their shard.
+
+    Bitwise-uniform control flow: every λ/ρ/convergence scalar derives from
+    psum'd values, so the nested while_loops stay in lockstep by
+    construction (contrast: the reference's TBB path is racy, SURVEY §2.4.3).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    L = problem.points.shape[0]
+    grouped = group_by_landmark(problem)
+
+    # pad the landmark axis to a shard multiple; padding rows have mask 0
+    # everywhere, V'=1e-12·I (regularizer) and h=0, so δpt_pad ≡ 0.
+    Lp = -(-L // n_shards) * n_shards
+    pad = Lp - L
+    pts = problem.points
+    if pad:
+        grouped = GroupedBA(
+            pixels=jnp.pad(grouped.pixels, ((0, pad), (0, 0), (0, 0))),
+            cam_ids=jnp.pad(grouped.cam_ids, ((0, pad), (0, 0))),
+            mask=jnp.pad(grouped.mask, ((0, pad), (0, 0))),
+        )
+        pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=1.0)
+
+    @partial(jax.jit, static_argnames=())
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P()),
+    )
+    def run(cams0, pts0, intr, grouped_shard, loss):
+        return _dense_loop_body(
+            cams0, pts0, intr, grouped_shard, loss,
+            problem.n_fixed_cameras, config, axis,
+        )
+
+    cams, pts_out, status, it, cost, trace = run(
+        problem.camera_params, pts, problem.intrinsics, grouped, problem.loss
+    )
+    return ba.BAResult(
+        camera_params=cams,
+        points=pts_out[:L],
+        status=status,
+        iterations=it,
+        cost=cost,
+        trace=trace,
+    )

@@ -201,6 +201,60 @@ def test_dense_robust_loss_and_fixed_cameras():
     assert med < 1.0
 
 
+def test_dense_sharded_matches_single_device():
+    """Landmark-sharded dense-Schur solve ≡ single-device solve (8-device
+    CPU mesh, L=41 deliberately not a shard multiple → exercises padding).
+
+    This is the dense engine's shard-invariance test — the distributed-BA
+    analogue of the reference's split-cost invariance
+    (tst/multiple_objectives.cpp) run over a mesh the reference lacks."""
+    from moptimizer_0_tpu.parallel import make_mesh
+
+    start, _ = make_synthetic_ba(C=5, L=41, noise=0.3, seed=13)
+    cfg = ba_dense.DenseBAConfig(max_iterations=10, schur_chunk=8)
+    res1 = ba_dense.solve_ba_dense(start, cfg)
+    res8 = ba_dense.solve_ba_dense_sharded(start, make_mesh(8), cfg)
+
+    assert int(res8.iterations) == int(res1.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res8.camera_params),
+        np.asarray(res1.camera_params),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.points), np.asarray(res1.points), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.trace["cost"]),
+        np.asarray(res1.trace["cost"]),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+
+
+def test_dense_sharded_shard_count_invariance():
+    """1-, 2- and 8-way landmark sharding give the same trajectory."""
+    from moptimizer_0_tpu.parallel import make_mesh
+
+    start, _ = make_synthetic_ba(C=4, L=24, noise=0.5, seed=21)
+    cfg = ba_dense.DenseBAConfig(max_iterations=6, schur_chunk=4)
+    results = [
+        ba_dense.solve_ba_dense_sharded(start, make_mesh(n), cfg)
+        for n in (1, 2, 8)
+    ]
+    for res in results[1:]:
+        np.testing.assert_allclose(
+            np.asarray(res.camera_params),
+            np.asarray(results[0].camera_params),
+            rtol=1e-9,
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.cost), np.asarray(results[0].cost), rtol=1e-9
+        )
+
+
 def test_dense_uneven_valence():
     """Landmarks with wildly different observation counts (padding stress)."""
     rng = np.random.default_rng(11)
