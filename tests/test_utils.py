@@ -112,3 +112,34 @@ def test_unrolled_solver_in_lm():
     )
     np.testing.assert_allclose(res.x[0], 0.362, atol=0.01)
     np.testing.assert_allclose(res.x[1], 0.556, atol=0.01)
+
+
+def test_checked_linearize_finite_passes():
+    """checkify layer: finite problems pass through unchanged."""
+    from moptimizer_0_tpu.core.linearize import linearize
+    from moptimizer_0_tpu.utils.checks import checked_linearize
+
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, dtype=jnp.float64)
+    x = jnp.array([0.9, 0.2])
+    c, H, b = checked_linearize(problem(blk), x)
+    c0, H0, b0 = linearize(problem(blk), x)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c0))
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H0))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b0))
+
+
+def test_checked_linearize_raises_on_nan():
+    """A model that produces NaN raises a named error instead of silently
+    propagating (the debug layer over the solver's NUMERIC_ERROR status,
+    reference src/levenberg_marquadt_dyn.cpp:88-91)."""
+    import pytest
+
+    from moptimizer_0_tpu.core.residual import make_block
+    from moptimizer_0_tpu.utils.checks import checked_linearize
+
+    bad = make_block(
+        lambda x, d: jnp.array([jnp.log(x[0] * d[0] - 10.0)]),
+        data=jnp.asarray(np.random.default_rng(0).random((5, 2))),
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        checked_linearize(problem(bad), jnp.ones(2))
