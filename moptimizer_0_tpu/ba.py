@@ -252,15 +252,50 @@ def _lm_trials(
     metrics_fn=None,
 ):
     """The reference's inner LM trial loop (src/levenberg_marquadt_dyn.cpp:
-    77-114) over a (cameras, points) pair, with pluggable damped solve and
-    cost evaluation — shared by the matrix-free CG engine (this module) and
-    the dense-Schur engine (ba_dense.py).
+    77-114) over a (cameras, points) pair — thin wrapper around
+    _lm_trials_tree for the common two-leaf case.
 
     state: dict with cams/pts/lam/nu/y/rho/status/stop/terminal.
     solve_fn(lam) -> (d_cam, d_pt); cost_fn(cams, pts) -> scalar.
     metrics_fn(d_cam, d_pt, lam) -> (ρ denominator δ·(λδ−b), max|δ|):
     overrides the default b_flat-based computation — the sharded dense
     engine supplies one whose landmark terms psum over the mesh axis.
+    """
+    tree_state = dict(state)
+    tree_state["params"] = (tree_state.pop("cams"), tree_state.pop("pts"))
+    tree_metrics = (
+        None
+        if metrics_fn is None
+        else (lambda delta, lam: metrics_fn(delta[0], delta[1], lam))
+    )
+    out = _lm_trials_tree(
+        tree_state,
+        y0,
+        b_flat,
+        (cams0, pts0),
+        lambda lam: tuple(solve_fn(lam)),
+        lambda p: cost_fn(p[0], p[1]),
+        inner_iterations,
+        metrics_fn=tree_metrics,
+    )
+    cams, pts = out.pop("params")
+    return dict(out, cams=cams, pts=pts)
+
+
+def _lm_trials_tree(
+    state, y0, b_flat, params0, solve_fn, cost_fn, inner_iterations,
+    metrics_fn=None,
+):
+    """Inner LM trial loop over an arbitrary parameter pytree — shared by
+    the matrix-free CG engine (ba.py, params = (cams, pts)), the dense-Schur
+    engine (ba_dense.py) and its self-calibrating variant
+    (params = (cams, pts, intrinsics)).
+
+    state: dict with params/lam/nu/y/rho/status/stop/terminal.
+    solve_fn(lam) -> delta pytree (same structure as params0);
+    cost_fn(params) -> scalar; b_flat: flattened gradient matching the
+    leaf-concatenation order of the params pytree (unused if metrics_fn).
+    metrics_fn(delta, lam) -> (ρ denominator δ·(λδ−b), max|δ|).
 
     Runs as a lax.while_loop so an accepted first trial (the common case)
     pays for exactly one damped solve + one cost evaluation — a statically
@@ -276,18 +311,19 @@ def _lm_trials(
         return (s["k"] < inner_iterations) & ~s["stop"]
 
     def body(s):
-        d_cam, d_pt = solve_fn(s["lam"])
-        cams_i = cams0 + d_cam
-        pts_i = pts0 + d_pt
-        yi = cost_fn(cams_i, pts_i)
+        delta = solve_fn(s["lam"])
+        params_i = jax.tree_util.tree_map(jnp.add, params0, delta)
+        yi = cost_fn(params_i)
 
         is_nan = jnp.isnan(yi)
         if metrics_fn is None:
-            delta_flat = jnp.concatenate([d_cam.reshape(-1), d_pt.reshape(-1)])
+            delta_flat = jnp.concatenate(
+                [d.reshape(-1) for d in jax.tree_util.tree_leaves(delta)]
+            )
             denom = jnp.dot(delta_flat, s["lam"] * delta_flat - b_flat)
             max_abs_delta = jnp.max(jnp.abs(delta_flat))
         else:
-            denom, max_abs_delta = metrics_fn(d_cam, d_pt, s["lam"])
+            denom, max_abs_delta = metrics_fn(delta, s["lam"])
         rho = (y0 - yi) / denom
         small = max_abs_delta < jnp.sqrt(eps)
         reject = rho < 0.0
@@ -311,8 +347,9 @@ def _lm_trials(
 
         gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         return dict(
-            cams=jnp.where(accept, cams_i, s["cams"]),
-            pts=jnp.where(accept, pts_i, s["pts"]),
+            params=jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), params_i, s["params"]
+            ),
             lam=jnp.where(
                 accept,
                 s["lam"] * gain,
@@ -332,11 +369,10 @@ def _lm_trials(
     return state
 
 
-def _lm_init_state(cams, pts, lam, y0, dtype):
+def _lm_init_state_tree(params, lam, y0, dtype):
     converged0 = jnp.abs(y0) < 8 * jnp.finfo(dtype).eps
     return dict(
-        cams=cams,
-        pts=pts,
+        params=params,
         lam=lam,
         nu=jnp.asarray(2.0, dtype),
         y=y0,
@@ -345,6 +381,12 @@ def _lm_init_state(cams, pts, lam, y0, dtype):
         stop=converged0,
         terminal=converged0,
     )
+
+
+def _lm_init_state(cams, pts, lam, y0, dtype):
+    st = _lm_init_state_tree((cams, pts), lam, y0, dtype)
+    cams_, pts_ = st.pop("params")
+    return dict(st, cams=cams_, pts=pts_)
 
 
 @partial(jax.jit, static_argnames=("config",))
