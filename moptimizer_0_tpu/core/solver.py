@@ -125,6 +125,14 @@ def _outer_iteration(problem, x, lam, config, manifold):
         lam < 0.0, config.init_lambda_factor * jnp.max(jnp.abs(diag_H)), lam
     )
 
+    n_inner = config.inner_iterations
+    inner_trace0 = dict(
+        cost_new=jnp.full((n_inner,), jnp.nan, dtype),
+        rho=jnp.full((n_inner,), jnp.nan, dtype),
+        lam=jnp.full((n_inner,), jnp.nan, dtype),
+        nu=jnp.full((n_inner,), jnp.nan, dtype),
+        accepted=jnp.zeros((n_inner,), bool),
+    )
     inner0 = dict(
         k=jnp.zeros((), jnp.int32),
         x=x,
@@ -136,6 +144,7 @@ def _outer_iteration(problem, x, lam, config, manifold):
         stop=converged0,  # converged before inner loop → skip it
         terminal=converged0,
         accepted=jnp.asarray(False),
+        trace=inner_trace0,
     )
 
     def inner_cond(s):
@@ -188,6 +197,19 @@ def _outer_iteration(problem, x, lam, config, manifold):
         new_nu = jnp.where(retry, 2.0 * s["nu"], s["nu"])
         terminal = is_nan | term_small
 
+        # per-trial trace slot: the same fields the reference prints per
+        # inner iteration (src/levenberg_marquadt_dyn.cpp:72-75,94-95);
+        # lam/nu are the values USED in this trial (pre-update).
+        k = s["k"]
+        tr = s["trace"]
+        trace = dict(
+            cost_new=tr["cost_new"].at[k].set(yi),
+            rho=tr["rho"].at[k].set(rho),
+            lam=tr["lam"].at[k].set(s["lam"]),
+            nu=tr["nu"].at[k].set(s["nu"]),
+            accepted=tr["accepted"].at[k].set(accept),
+        )
+
         return dict(
             k=s["k"] + 1,
             x=jnp.where(accept, xi, s["x"]),
@@ -199,6 +221,7 @@ def _outer_iteration(problem, x, lam, config, manifold):
             stop=accept | terminal,
             terminal=terminal,
             accepted=accept,
+            trace=trace,
         )
 
     inner = jax.lax.while_loop(inner_cond, inner_body, inner0)
@@ -214,6 +237,7 @@ def _outer_iteration(problem, x, lam, config, manifold):
         lam=inner["lam"],
         nu=inner["nu"],
         accepted=inner["accepted"],
+        inner=inner["trace"],  # per-trial (inner_iterations,) arrays
     )
     return problem, inner["x"], inner["lam"], terminal, status, record
 
@@ -223,6 +247,7 @@ def _minimize_impl(problem, x0, config, manifold):
     dtype = x0.dtype
     n_it = config.max_iterations
 
+    n_inner = config.inner_iterations
     trace0 = dict(
         cost=jnp.full((n_it,), jnp.nan, dtype),
         cost_new=jnp.full((n_it,), jnp.nan, dtype),
@@ -230,6 +255,13 @@ def _minimize_impl(problem, x0, config, manifold):
         lam=jnp.full((n_it,), jnp.nan, dtype),
         nu=jnp.full((n_it,), jnp.nan, dtype),
         accepted=jnp.zeros((n_it,), bool),
+        inner=dict(  # full per-trial record: (max_iterations, inner_iterations)
+            cost_new=jnp.full((n_it, n_inner), jnp.nan, dtype),
+            rho=jnp.full((n_it, n_inner), jnp.nan, dtype),
+            lam=jnp.full((n_it, n_inner), jnp.nan, dtype),
+            nu=jnp.full((n_it, n_inner), jnp.nan, dtype),
+            accepted=jnp.zeros((n_it, n_inner), bool),
+        ),
     )
 
     carry0 = dict(
@@ -249,9 +281,9 @@ def _minimize_impl(problem, x0, config, manifold):
         problem, x, lam, terminal, status, record = _outer_iteration(
             c["problem"], c["x"], c["lam"], config, manifold
         )
-        trace = {
-            k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()
-        }
+        trace = jax.tree.map(
+            lambda v, r: v.at[c["it"]].set(r), c["trace"], record
+        )
         # executed_iterations_: not incremented on the iteration that returns
         # (reference for-loop returns mid-body, src:34-119).
         return dict(

@@ -37,7 +37,11 @@ class Logger:
 
 def format_trace(result, max_rows=None):
     """Render an LMResult trace like the reference's debug lines."""
-    tr = {k: np.asarray(v) for k, v in result.trace.items()}
+    tr = {
+        k: np.asarray(v)
+        for k, v in result.trace.items()
+        if not isinstance(v, dict)  # skip the nested per-inner-trial record
+    }
     n = int(result.iterations) + 1
     n = min(n, len(tr["cost"]))
     if max_rows is not None:
