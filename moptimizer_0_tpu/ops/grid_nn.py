@@ -1,0 +1,194 @@
+"""Voxel hash-grid nearest-neighbor search — the HBM-resident-scale path.
+
+The brute-force kernel (ops/nn_search.py) is exact but O(Q·M): at 1M×1M the
+10¹² candidate pairs are out of reach of any dense kernel. This module is
+the classic spatial-hash answer re-shaped for TPU/XLA:
+
+* **Build** (host, once per target cloud — same pattern as
+  ba_dense.group_by_landmark): voxelize at `cell_size`, hash each occupied
+  cell into a power-of-two table, bucket points per slot, pad buckets to the
+  max slot occupancy K. Result is a dense (S, K) index table + (S, K, 3)
+  coordinate table — static shapes, no pointers, gather-friendly.
+* **Query** (jitted, device): each query hashes its own cell plus the
+  (2·rings+1)³ neighborhood (27 cells for rings=1), gathers those buckets'
+  coordinates in one slot-granular gather (K·3 contiguous floats per slot —
+  ~K·12 bytes per descriptor instead of 12, amortizing TPU's row-granular
+  gather cost), and reduces min/argmin on the VPU. lax.scan over query
+  chunks bounds live memory to (chunk · n_cells · K · 3) floats.
+
+Semantics: returns the EXACT nearest neighbor for every query whose true NN
+distance is < rings·cell_size; queries with nothing that close get
+d² = +inf (→ the ICP validity mask rejects them — the semantics ICP wants,
+reference model.h:33 bool-validity). Hash collisions merge buckets, which
+only ADDS real candidate points — never wrong answers (true distances are
+always computed). Exactness holds because K is the max SLOT occupancy: no
+bucket ever overflows.
+
+Degenerate case: cell_size much larger than the cloud extent piles every
+point into one slot and K → M (memory S·K·3 ≈ brute force). Pick
+cell_size ≈ the ICP correspondence radius; `registration.icp` does this
+automatically from `max_corr_dist`.
+
+Fills the `update()` hook the reference reserves for NN search
+(/root/reference/docs/Cost.puml) at scales its TBB loops never reached.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Large-prime XOR hash (Teschner et al.); uint32 wrap-around on both the
+# numpy build side and the jnp query side keeps host/device slots identical.
+_P1, _P2, _P3 = np.uint32(73856093), np.uint32(19349663), np.uint32(83492791)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HashGrid:
+    """Dense bucketed voxel hash table (built host-side, queried jitted).
+
+    table_idx: (S, K) int32 point index per bucket slot, −1 padding.
+    table_pts: (S, K, 3) point coordinates, 0 in padding slots (masked by idx).
+    cell_size: () float — voxel edge length.
+    """
+
+    table_idx: jax.Array
+    table_pts: jax.Array
+    cell_size: jax.Array
+
+    @property
+    def n_slots(self):
+        return self.table_idx.shape[0]
+
+    @property
+    def bucket_size(self):
+        return self.table_idx.shape[1]
+
+
+def _hash_cells_np(cells, n_slots):
+    c = cells.astype(np.int64).astype(np.uint32)
+    h = (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    return (h & np.uint32(n_slots - 1)).astype(np.int64)
+
+
+def _hash_cells_jnp(cells, n_slots):
+    c = cells.astype(jnp.uint32)
+    h = (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    return (h & jnp.uint32(n_slots - 1)).astype(jnp.int32)
+
+
+def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
+    """Bucket `points` (M, 3) into a hash grid with voxel edge `cell_size`.
+
+    Host-side numpy, run once per target cloud (outside jit). The table size
+    S is the next power of two ≥ occupancy_factor · (# occupied cells);
+    the bucket capacity K is the max slot occupancy, so the table is lossless.
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        raise ValueError(f"points must be (M, 3); got {pts.shape}")
+    M = pts.shape[0]
+    cell_size = float(cell_size)
+    if not cell_size > 0:
+        raise ValueError(f"cell_size must be positive; got {cell_size}")
+
+    cells = np.ascontiguousarray(np.floor(pts / cell_size).astype(np.int64))
+    n_occupied = len(np.unique(cells.view([("", cells.dtype)] * 3)))
+    n_slots = 1 << max(int(np.ceil(np.log2(max(occupancy_factor * n_occupied, 1)))), 4)
+
+    slot = _hash_cells_np(cells, n_slots)
+    order = np.argsort(slot, kind="stable")
+    counts = np.bincount(slot, minlength=n_slots)
+    K = max(int(counts.max()), 1)
+
+    starts = np.zeros(n_slots + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(M) - starts[slot[order]]
+
+    table_idx = np.full((n_slots, K), -1, dtype=np.int32)
+    table_pts = np.zeros((n_slots, K, 3), dtype=np.float32)
+    rows = slot[order]
+    table_idx[rows, rank] = order.astype(np.int32)
+    table_pts[rows, rank] = pts[order]
+
+    return HashGrid(
+        table_idx=jnp.asarray(table_idx),
+        table_pts=jnp.asarray(table_pts),
+        cell_size=jnp.asarray(cell_size, jnp.float32),
+    )
+
+
+def _neighbor_offsets(rings):
+    r = np.arange(-rings, rings + 1)
+    return np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "chunk"))
+def grid_nearest_neighbors(query, grid, *, rings=1, chunk=4096):
+    """Nearest neighbor of each query within rings·cell_size, via the grid.
+
+    Returns (idx (Q,) int32, d² (Q,) f32). Queries whose true NN distance is
+    < rings·cell_size get the exact nearest neighbor (equal to brute force);
+    all others get idx = −1 and d² = +inf. Candidates beyond the guaranteed
+    radius are discarded even when a hash collision surfaces one, so the
+    result is radius-search semantics, not best-effort.
+    """
+    Q = query.shape[0]
+    qf = query.astype(jnp.float32)
+    offsets = jnp.asarray(_neighbor_offsets(rings), jnp.int32)  # (k³, 3)
+    S = grid.n_slots
+
+    n_chunks = -(-Q // chunk)
+    pad = n_chunks * chunk - Q
+    qp = jnp.pad(qf, ((0, pad), (0, 0)))
+
+    def body(carry, q):  # q: (chunk, 3)
+        cell = jnp.floor(q / grid.cell_size).astype(jnp.int32)  # (chunk, 3)
+        cells = cell[:, None, :] + offsets[None, :, :]  # (chunk, k³, 3)
+        slots = _hash_cells_jnp(cells, S)  # (chunk, k³)
+        cand_pts = grid.table_pts[slots]  # (chunk, k³, K, 3) slot-granular gather
+        cand_idx = grid.table_idx[slots]  # (chunk, k³, K)
+        d2 = jnp.sum(
+            (q[:, None, None, :] - cand_pts) ** 2, axis=-1
+        )  # (chunk, k³, K)
+        # padding slots AND beyond-guaranteed-radius candidates → +inf:
+        # a hash collision may surface a far point for a query whose own
+        # neighborhood is empty; radius semantics must reject it.
+        r2 = (rings * grid.cell_size) ** 2
+        d2 = jnp.where((cand_idx >= 0) & (d2 < r2), d2, jnp.inf)
+        d2f = d2.reshape(q.shape[0], -1)
+        best = jnp.argmin(d2f, axis=1)
+        best_d2 = jnp.take_along_axis(d2f, best[:, None], axis=1)[:, 0]
+        best_idx = jnp.take_along_axis(
+            cand_idx.reshape(q.shape[0], -1), best[:, None], axis=1
+        )[:, 0]
+        best_idx = jnp.where(jnp.isfinite(best_d2), best_idx, -1)
+        return carry, (best_idx, best_d2)
+
+    _, (idx, d2) = jax.lax.scan(body, None, qp.reshape(n_chunks, chunk, 3))
+    return idx.reshape(-1)[:Q], d2.reshape(-1)[:Q]
+
+
+def estimate_spacing(points, *, sample=1024, seed=0):
+    """Median nearest-neighbor spacing of a point cloud (host-side helper).
+
+    Brute-forces a random sample against the full cloud — O(sample·M), used
+    once at grid-build time to choose a default cell size.
+    """
+    from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
+
+    pts = jnp.asarray(points, jnp.float32)
+    M = pts.shape[0]
+    if M < 2:
+        raise ValueError("need at least 2 points to estimate spacing")
+    n = min(sample, M)
+    sel = jax.random.choice(jax.random.PRNGKey(seed), M, (n,), replace=False)
+    sampled = pts[sel]
+    # self-match excluded via 2-NN: nearest is the point itself (d=0)
+    from moptimizer_0_tpu.ops.nn_search import knn
+
+    _, d2 = knn(sampled, pts, 2)
+    return float(jnp.sqrt(jnp.median(d2[:, 1])))

@@ -1,0 +1,173 @@
+"""Voxel hash-grid NN: exactness vs brute force + ICP integration.
+
+The grid must EQUAL the brute-force kernel (ops/nn_search.py) for every
+query whose true NN distance is inside the neighborhood radius — on uniform
+clouds, surface-like clouds (fachada), hash-collision-heavy clouds, and
+out-of-range queries.
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moptimizer_0_tpu.ops.grid_nn import (
+    build_hash_grid,
+    estimate_spacing,
+    grid_nearest_neighbors,
+)
+from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
+
+
+def _bruteforce_f64(query, points, chunk=2048):
+    """Exact f64 numpy NN oracle (the Pallas/XLA kernels' ‖q‖²−2qp+‖p‖²
+    expansion loses ~1e-3 relative in f32 and mis-ranks near-ties, so the
+    production kernel is not a trustworthy exactness oracle)."""
+    q = np.asarray(query, np.float64)
+    p = np.asarray(points, np.float64)
+    idx = np.empty(q.shape[0], np.int64)
+    d2 = np.empty(q.shape[0], np.float64)
+    for s in range(0, q.shape[0], chunk):
+        block = q[s : s + chunk, None, :] - p[None, :, :]
+        dist = np.einsum("qmk,qmk->qm", block, block)
+        idx[s : s + chunk] = np.argmin(dist, axis=1)
+        d2[s : s + chunk] = np.min(dist, axis=1)
+    return idx, d2
+
+
+def _check_exact(query, points, cell, rings=1):
+    grid = build_hash_grid(points, cell)
+    gi, gd = grid_nearest_neighbors(jnp.asarray(query), grid, rings=rings)
+    gi, gd = np.asarray(gi), np.asarray(gd)
+    bi, bd = _bruteforce_f64(query, points)
+
+    in_range = bd < (rings * cell) ** 2 * (1 - 1e-5)  # exclude f32 knife edges
+    mismatch = in_range & (gi != bi)
+    if mismatch.any():
+        # the only admissible mismatch is an exact-tie (duplicate points)
+        d_alt = np.sum(
+            (query[mismatch].astype(np.float64) - points[gi[mismatch]]) ** 2,
+            axis=-1,
+        )
+        np.testing.assert_allclose(d_alt, bd[mismatch], rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(
+        gd[in_range], bd[in_range], rtol=1e-4, atol=1e-10
+    )
+    # whatever the grid returns is a real point at its true distance
+    found = gi >= 0
+    d_check = np.sum(
+        (query[found].astype(np.float64) - points[gi[found]]) ** 2, axis=-1
+    )
+    np.testing.assert_allclose(gd[found], d_check, rtol=1e-4, atol=1e-10)
+    return in_range.mean()
+
+
+def test_exact_uniform_cloud():
+    rng = np.random.default_rng(0)
+    points = rng.uniform(0, 10, (20000, 3)).astype(np.float32)
+    query = rng.uniform(0, 10, (5000, 3)).astype(np.float32)
+    frac = _check_exact(query, points, cell=0.5)
+    assert frac > 0.99  # sanity: almost every query has an in-range NN
+
+
+def test_exact_fachada_scan():
+    """Real LiDAR scan (29,310 points, reference tst/data/fachada.txt)."""
+    from moptimizer_0_tpu.utils.pointcloud import load_txt_cloud
+
+    data = pathlib.Path(__file__).parent / "data" / "fachada.txt"
+    points = load_txt_cloud(data).astype(np.float32)
+    rng = np.random.default_rng(1)
+    # queries = jittered subsample (the ICP warm-start regime)
+    sel = rng.choice(points.shape[0], 8000, replace=False)
+    query = points[sel] + rng.normal(0, 0.05, (8000, 3)).astype(np.float32)
+    spacing = estimate_spacing(points)
+    frac = _check_exact(query, points, cell=5.0 * spacing)
+    assert frac > 0.95
+
+
+def test_exact_negative_coords_and_outliers():
+    """Negative cells exercise the int→uint hash wrap; far queries must
+    come back invalid (idx −1, d² inf)."""
+    rng = np.random.default_rng(2)
+    points = rng.uniform(-30, -10, (5000, 3)).astype(np.float32)
+    query = np.concatenate(
+        [
+            rng.uniform(-30, -10, (2000, 3)),
+            rng.uniform(100, 120, (100, 3)),  # nowhere near the cloud
+        ]
+    ).astype(np.float32)
+    grid = build_hash_grid(points, 1.0)
+    gi, gd = map(np.asarray, grid_nearest_neighbors(jnp.asarray(query), grid))
+    # radius semantics: far queries are invalid even if a hash collision
+    # surfaced some bucket — beyond-radius candidates are discarded
+    assert (gi[-100:] == -1).all()
+    assert np.isinf(gd[-100:]).all()
+    _check_exact(query[:2000], points, cell=1.0)
+
+
+def test_exact_skewed_occupancy():
+    """A dense clump + sparse halo: one slot holds hundreds of points (big K),
+    exactness must survive bucket merging."""
+    rng = np.random.default_rng(3)
+    clump = rng.normal(0, 0.05, (3000, 3))
+    halo = rng.uniform(-5, 5, (2000, 3))
+    points = np.concatenate([clump, halo]).astype(np.float32)
+    query = (points[::3] + rng.normal(0, 0.02, (points[::3].shape))).astype(
+        np.float32
+    )
+    _check_exact(query, points, cell=1.0)
+
+
+def test_rings_2_extends_radius():
+    rng = np.random.default_rng(4)
+    points = rng.uniform(0, 10, (3000, 3)).astype(np.float32)
+    query = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+    frac1 = _check_exact(query, points, cell=0.2, rings=1)
+    frac2 = _check_exact(query, points, cell=0.2, rings=2)
+    assert frac2 >= frac1
+
+
+def test_build_validates():
+    with pytest.raises(ValueError):
+        build_hash_grid(np.zeros((5, 2)), 1.0)
+    with pytest.raises(ValueError):
+        build_hash_grid(np.zeros((5, 3)), 0.0)
+
+
+def test_icp_grid_backend_recovers_transform():
+    """icp(..., nn_backend='grid') end-to-end on the fachada scan, vs the
+    same ground-truth-transform recovery the brute-force tests pin."""
+    from moptimizer_0_tpu.lie import se3
+    from moptimizer_0_tpu.registration import icp
+    from moptimizer_0_tpu.utils.pointcloud import load_txt_cloud
+
+    data = pathlib.Path(__file__).parent / "data" / "fachada.txt"
+    cloud = load_txt_cloud(data).astype(np.float32)[::4]
+    src = jnp.asarray(cloud)
+    x_true = jnp.asarray([0.4, -0.3, 0.2, 0.05, -0.04, 0.06], jnp.float32)
+    T = se3.transform_from_params6(x_true)
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+
+    res = icp(src, tgt, nn_backend="grid", max_corr_dist=1.0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true), atol=2e-3)
+
+
+def test_icp_grid_matches_bruteforce_trajectory():
+    """Same solve with grid vs brute-force backends: identical converged x
+    (every correspondence decision identical when all NNs are in range)."""
+    from moptimizer_0_tpu.lie import se3
+    from moptimizer_0_tpu.registration import icp
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.uniform(0, 10, (4000, 3)).astype(np.float32))
+    x_true = jnp.asarray([0.2, -0.1, 0.15, 0.03, 0.02, -0.04], jnp.float32)
+    T = se3.transform_from_params6(x_true)
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+
+    res_grid = icp(src, tgt, nn_backend="grid", max_corr_dist=2.0)
+    res_bf = icp(src, tgt, nn_backend="xla", max_corr_dist=2.0)
+    np.testing.assert_allclose(
+        np.asarray(res_grid.x), np.asarray(res_bf.x), atol=1e-5
+    )
