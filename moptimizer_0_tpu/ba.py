@@ -446,17 +446,59 @@ def ba_step(problem, lam, config=BAConfig()):
     return state["cams"], state["pts"], state["lam"], terminal, status, record
 
 
-def solve_ba(problem, config=BAConfig(), host_loop=False):
+# engine="auto" routing thresholds (measured, benchmarks/ba_engines_ab.py +
+# docs/PERF.md): the dense-Schur engine wins while its (6C)² replicated
+# Cholesky fits (C ≲ 1500, ba_dense.py module docstring) and the (L·K)/O
+# grid-padding inflation stays moderate; past either bound the matrix-free
+# CG engine's O-proportional work takes over.
+DENSE_MAX_CAMERAS = 1500
+DENSE_MAX_PADDING = 16.0
+
+
+def select_engine(problem):
+    """engine="auto" routing decision (host-side, cheap). See solve_ba."""
+    from moptimizer_0_tpu import ba_dense
+
+    C = problem.camera_params.shape[0]
+    if C <= DENSE_MAX_CAMERAS and ba_dense.padding_factor(problem) <= DENSE_MAX_PADDING:
+        return "dense"
+    return "cg"
+
+
+def solve_ba(problem, config=BAConfig(), host_loop=False, engine="cg"):
     """LM over (cameras, landmarks) with Schur-eliminated inner solves.
 
     Follows the reference LM schedule exactly (λ seed 1e-9·max diag,
     ρ accept/reject, λ·ν backoff — src/levenberg_marquadt_dyn.cpp:67-114)
-    with the damped solve replaced by Schur-CG.
+    with the damped solve replaced by a Schur-complement camera solve.
+
+    engine:
+      "cg"    — matrix-free Schur preconditioned CG (this module).
+      "dense" — explicit-Schur MXU engine (ba_dense.solve_ba_dense).
+      "auto"  — route on problem shape: dense while C ≤ DENSE_MAX_CAMERAS
+                and the landmark-grid padding factor (L·K)/O ≤
+                DENSE_MAX_PADDING (hub landmarks inflate the dense grid —
+                ba_dense.padding_factor), else CG.
 
     host_loop=True drives ba_step from Python (one dispatch per outer
     iteration) — useful for checkpointing/streaming; the default runs the
     whole solve in one jitted lax.while_loop dispatch (faster, see ba_step).
     """
+    if engine == "auto":
+        engine = select_engine(problem)
+    if engine == "dense":
+        from moptimizer_0_tpu import ba_dense
+
+        return ba_dense.solve_ba_dense(
+            problem,
+            ba_dense.DenseBAConfig(
+                max_iterations=config.max_iterations,
+                inner_iterations=config.inner_iterations,
+                init_lambda_factor=config.init_lambda_factor,
+            ),
+        )
+    if engine != "cg":
+        raise ValueError(f"unknown engine {engine!r}")
     if host_loop:
         return _solve_ba_host(problem, config)
     return _solve_ba_device(problem, config)

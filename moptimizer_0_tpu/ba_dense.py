@@ -58,6 +58,20 @@ class GroupedBA:
     mask: jax.Array
 
 
+def padding_factor(problem):
+    """(L·K)/O — the dense-grid inflation of `group_by_landmark`.
+
+    K is the max landmark valence, so one hub landmark observed by every
+    camera inflates every row to its width. The dense engine's work and
+    memory scale with L·K, the CG engine's with O; `ba.solve_ba(engine=
+    "auto")` routes on this number (host-side, cheap: one bincount)."""
+    pt_idx = np.asarray(problem.pt_idx)
+    L = problem.points.shape[0]
+    O = max(len(pt_idx), 1)
+    K = max(int(np.bincount(pt_idx, minlength=L).max()), 1)
+    return L * K / O
+
+
 def group_by_landmark(problem):
     """Reorder a BAProblem's observation arrays into the (L, K) grid.
 

@@ -304,3 +304,130 @@ def test_dense_uneven_valence():
         int(Status.SMALL_DELTA),
         int(Status.MAXIMUM_ITERATIONS_REACHED),
     )
+
+
+# ---------------------------------------------------------------------------
+# engine="auto" routing + padding guard (hub-landmark / skewed valence)
+
+
+def make_hub_ba(C=25, L=500, seed=2, dtype=jnp.float64):
+    """Skewed-valence problem: landmark 0 is a hub observed by EVERY camera;
+    every other landmark is observed by exactly one camera (round-robin).
+    K = C while mean valence ≈ 1, so the (L·K)/O padding factor blows up —
+    the case ba_dense's grouping is worst at (ba_dense.py module docstring)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-2, 2, size=(L, 3)) + np.array([0.0, 0.0, 8.0])
+    cams = np.stack(
+        [
+            np.concatenate(
+                [[1.5 * i - 0.75 * (C - 1), 0.3 * rng.normal(), 0.0],
+                 0.05 * rng.normal(size=3)]
+            )
+            for i in range(C)
+        ]
+    )
+    pt_idx = np.concatenate([np.zeros(C, np.int64), np.arange(1, L)])
+    cam_idx = np.concatenate([np.arange(C), np.arange(L - 1) % C])
+    O = len(pt_idx)
+    gt = ba.BAProblem(
+        camera_params=jnp.asarray(cams, dtype),
+        points=jnp.asarray(pts, dtype),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        pixels=jnp.zeros((O, 2), dtype),
+        intrinsics=jnp.asarray([500.0, 500.0, 320.0, 240.0], dtype),
+        n_fixed_cameras=2,
+    )
+    pixels = jax.vmap(ba._project, (0, 0, None))(
+        gt.camera_params[gt.cam_idx], gt.points[gt.pt_idx], gt.intrinsics
+    )
+    return dataclasses.replace(gt, pixels=jnp.asarray(pixels, dtype))
+
+
+def test_padding_factor():
+    """Exact padding factor on uniform and hub incidences."""
+    start, _ = make_synthetic_ba(C=4, L=30)  # every camera sees every point
+    assert ba_dense.padding_factor(start) == 1.0  # K = C, O = C·L
+
+    hub = make_hub_ba(C=25, L=500)
+    O = 25 + 499
+    assert ba_dense.padding_factor(hub) == 500 * 25 / O
+    assert ba_dense.padding_factor(hub) > ba.DENSE_MAX_PADDING
+
+
+def test_engine_auto_routing():
+    """auto → dense for well-shaped problems, cg past the padding guard."""
+    start, _ = make_synthetic_ba(C=4, L=30)
+    assert ba.select_engine(start) == "dense"
+    assert ba.select_engine(make_hub_ba()) == "cg"
+
+
+def test_engine_auto_runs_both_routes():
+    """solve_ba(engine=...) executes and both engines agree on a moderate
+    hub problem (same GN algebra; only the camera-system solver differs)."""
+    # moderate skew: hub seen by all 5 cameras, rest seen by 2 → routes dense
+    start, _ = make_synthetic_ba(C=5, L=24, noise=0.3, seed=17)
+    cfg = ba.BAConfig(max_iterations=8)
+    res_auto = ba.solve_ba(start, cfg, engine="auto")
+    res_cg = ba.solve_ba(start, cfg, engine="cg")
+    assert float(res_auto.cost) <= 1.001 * float(res_cg.cost) + 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ba.solve_ba(start, cfg, engine="bogus")
+
+
+def test_hub_problem_cg_solves():
+    """The padding-guard fallback actually works on the skewed problem."""
+    hub = make_hub_ba(C=6, L=60)
+    start = dataclasses.replace(
+        hub,
+        camera_params=hub.camera_params
+        + 0.01
+        * jnp.asarray(
+            np.random.default_rng(0).normal(size=hub.camera_params.shape)
+        )
+        * (jnp.arange(6) >= 2)[:, None],
+    )
+    res = ba.solve_ba(start, ba.BAConfig(max_iterations=12), engine="auto")
+    assert float(res.cost) < 1e-6  # noiseless pixels → near-zero reprojection
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r1 #3: sharded engine with robust loss + gauge fixing
+
+
+def test_dense_sharded_robust_loss_and_fixed_cameras():
+    """Sharded dense engine ≡ single-device with Huber loss + 2 fixed
+    cameras (the branches the r1 shard-invariance tests left unpinned)."""
+    from moptimizer_0_tpu.parallel import make_mesh
+
+    start, _ = make_synthetic_ba(C=5, L=23, noise=0.4, seed=29, n_fixed=2)
+    # inject outliers so the robust weights actually vary
+    pix = np.array(start.pixels)
+    pix[::7] += 40.0
+    start = dataclasses.replace(
+        start, pixels=jnp.asarray(pix), loss=Huber(delta=5.0)
+    )
+    cfg = ba_dense.DenseBAConfig(max_iterations=8, schur_chunk=4)
+    res1 = ba_dense.solve_ba_dense(start, cfg)
+    res8 = ba_dense.solve_ba_dense_sharded(start, make_mesh(8), cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(res8.camera_params),
+        np.asarray(res1.camera_params),
+        rtol=1e-9,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.points), np.asarray(res1.points), rtol=1e-9, atol=1e-12
+    )
+    # gauge fixing respected on both paths
+    np.testing.assert_array_equal(
+        np.asarray(res8.camera_params[:2]), np.asarray(start.camera_params[:2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.trace["cost"]), np.asarray(res1.trace["cost"]),
+        rtol=1e-9, atol=1e-12,
+    )
