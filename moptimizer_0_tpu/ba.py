@@ -447,11 +447,14 @@ def ba_step(problem, lam, config=BAConfig()):
 
 
 # engine="auto" routing thresholds (measured, benchmarks/ba_engines_ab.py +
-# docs/PERF.md): the dense-Schur engine wins while its (6C)² replicated
-# Cholesky fits (C ≲ 1500, ba_dense.py module docstring) and the (L·K)/O
-# grid-padding inflation stays moderate; past either bound the matrix-free
-# CG engine's O-proportional work takes over.
-DENSE_MAX_CAMERAS = 1500
+# benchmarks/cholesky_ab.py + docs/PERF.md): the dense-Schur engine wins
+# while its (6C)² replicated camera system stays HBM-affordable — the
+# factorization itself is ~120 ms even at C = 3000, so the bound is the
+# ~4·(6C)² f32 bytes of S + its factor (≈2.6 GB at C = 3000) against 16 GB
+# HBM shared with the (L, K) grid — and while the (L·K)/O grid-padding
+# inflation stays moderate; past either bound the matrix-free CG engine's
+# O-proportional work takes over.
+DENSE_MAX_CAMERAS = 3000
 DENSE_MAX_PADDING = 16.0
 
 

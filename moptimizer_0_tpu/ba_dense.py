@@ -22,10 +22,13 @@ from the hot path:
 
 Cost model: the S build is 2·(6C)²·(3L)/2 FLOPs of pure f32 matmul — at
 C=200, L=50k that is ~0.4 TFLOP-scale work the MXU eats in ms — plus
-O(L·K) element streams. Memory is O(L·K + chunk·C·18 + (6C)²); the dense
-engine is the right choice up to C ≈ 1500 ((6C)² ≈ 81M f32). Beyond that,
-or when landmark valence is extremely skewed (padding factor L·K/O large),
-fall back to ba.solve_ba's matrix-free CG.
+O(L·K) element streams. Memory is O(L·K + chunk·C·18 + (6C)²); the (6C)²
+camera system factorizes in ~120 ms even at C = 3000 (XLA expander at ~17
+f32 TFLOP/s, benchmarks/cholesky_ab.py), so the engine's camera ceiling is
+HBM capacity for S (~1.3 GB at C = 3000), not solve time. When landmark
+valence is extremely skewed (padding factor L·K/O large) fall back to
+ba.solve_ba's matrix-free CG — `engine="auto"` routes on both
+(ba.select_engine).
 
 Same problem type (ba.BAProblem), same LM schedule (reference
 src/levenberg_marquadt_dyn.cpp:34-119 λ/ν/ρ rules via ba._lm_trials), same
@@ -41,6 +44,7 @@ import numpy as np
 
 from moptimizer_0_tpu import ba
 from moptimizer_0_tpu.core.solver import Status
+from moptimizer_0_tpu.ops import block_cholesky
 
 
 @jax.tree_util.register_dataclass
@@ -327,7 +331,8 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     return S
 
 
-def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk, axis_name=None):
+def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
+                       axis_name=None, schur_solver="auto"):
     """One damped dense-Schur solve → (δcam (C,6), δpt (L,3)).
 
     Under shard_map (axis_name set) L is the local landmark shard: the
@@ -354,8 +359,7 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk, axis_n
     rhs = -(g - red)
     rhs = (rhs * fixed_mask[:, None]).reshape(-1)
 
-    cf = jax.scipy.linalg.cho_factor(S)
-    d_cam = jax.scipy.linalg.cho_solve(cf, rhs).reshape(C, 6)
+    d_cam = block_cholesky.spd_solve(S, rhs, method=schur_solver).reshape(C, 6)
     d_cam = d_cam * fixed_mask[:, None]
 
     # back-substitute: δl = V'⁻¹ (−h − Σ_k W_lkᵀ δc[cam(l,k)])
@@ -371,6 +375,10 @@ class DenseBAConfig:
     inner_iterations: int = 3
     init_lambda_factor: float = 1e-9
     schur_chunk: int = 512
+    # (6C)² camera-system solver: "xla" (expander), "blocked" (MXU-matmul
+    # recursion, ops/block_cholesky.py), or "auto" (measured best — the
+    # expander, which solves C=3000 in ~120 ms; benchmarks/cholesky_ab.py).
+    schur_solver: str = "auto"
 
 
 def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis_name=None):
@@ -406,7 +414,7 @@ def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis
     def solve_fn(lam_k):
         return _solve_delta_dense(
             grouped, C, U, V, W, g, h, lam_k, fixed_mask, config.schur_chunk,
-            axis_name,
+            axis_name, config.schur_solver,
         )
 
     def cost_fn(cams_i, pts_i):
@@ -567,7 +575,26 @@ def _dense_loop_body(cams0, pts0, intr, grouped, loss, n_fixed, config, axis_nam
     return c["cams"], c["pts"], c["status"], c["it"], final_cost, c["trace"]
 
 
-def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data"):
+@partial(jax.jit, static_argnames=("mesh", "axis", "n_fixed", "config"))
+def _run_dense_sharded(cams0, pts, intr, grouped, loss, mesh, axis, n_fixed, config):
+    """Module-level jit of the shard_map'd LM loop.
+
+    Hoisted out of solve_ba_dense_sharded so repeated solves with the same
+    (mesh, axis, n_fixed, config) statics reuse the compiled executable
+    instead of re-tracing a per-call closure."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    run = shard_map(
+        lambda c, p, i, g, l: _dense_loop_body(c, p, i, g, l, n_fixed, config, axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P()),
+    )
+    return run(cams0, pts, intr, grouped, loss)
+
+
+def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data", grouped=None):
     """Distributed dense-Schur BA: landmark axis sharded over the mesh.
 
     The (L, K) observation grid and the landmark state are sharded along L
@@ -581,13 +608,14 @@ def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data"):
     Bitwise-uniform control flow: every λ/ρ/convergence scalar derives from
     psum'd values, so the nested while_loops stay in lockstep by
     construction (contrast: the reference's TBB path is racy, SURVEY §2.4.3).
-    """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
 
+    Pass `grouped` (from group_by_landmark) to reuse the host-side grouping
+    across solves of the same incidence structure.
+    """
     n_shards = mesh.shape[axis]
     L = problem.points.shape[0]
-    grouped = group_by_landmark(problem)
+    if grouped is None:
+        grouped = group_by_landmark(problem)
 
     # pad the landmark axis to a shard multiple; padding rows have mask 0
     # everywhere, V'=1e-12·I (regularizer) and h=0, so δpt_pad ≡ 0.
@@ -602,21 +630,9 @@ def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data"):
         )
         pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=1.0)
 
-    @partial(jax.jit, static_argnames=())
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(axis), P()),
-        out_specs=(P(), P(axis), P(), P(), P(), P()),
-    )
-    def run(cams0, pts0, intr, grouped_shard, loss):
-        return _dense_loop_body(
-            cams0, pts0, intr, grouped_shard, loss,
-            problem.n_fixed_cameras, config, axis,
-        )
-
-    cams, pts_out, status, it, cost, trace = run(
-        problem.camera_params, pts, problem.intrinsics, grouped, problem.loss
+    cams, pts_out, status, it, cost, trace = _run_dense_sharded(
+        problem.camera_params, pts, problem.intrinsics, grouped, problem.loss,
+        mesh, axis, problem.n_fixed_cameras, config,
     )
     return ba.BAResult(
         camera_params=cams,

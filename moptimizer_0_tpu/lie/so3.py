@@ -86,27 +86,56 @@ def exp(w):
 
 
 def log(R):
-    """Axis-angle from rotation matrix (reference so3::Log, so3.cpp:96-105).
+    """Axis-angle from rotation matrix, accurate over the full range [0, π].
 
-    w = θ/(2 sin θ) · vee(R − Rᵀ), with a Taylor branch near θ = 0.
+    Extracts a unit quaternion via Shepperd's pivot selection (largest of
+    {4w², 4x², 4y², 4z²}), then w = θ·axis with θ = 2·atan2(‖q_v‖, q_w) —
+    well-conditioned at both θ ≈ 0 and θ ≈ π. The classic
+    θ/(2 sin θ)·vee(R − Rᵀ) formula (reference so3::Log, so3.cpp:96-105)
+    is 0/0 at θ = π (R becomes symmetric), which silently corrupts any
+    trajectory that passes through a half-turn; the quaternion route has no
+    singular angle.
     """
-    tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
-    small = cos_t > 1.0 - 1e-7  # θ ≲ 4.5e-4
-    # arccos has infinite slope at ±1: clamp its argument away from 1 on the
-    # small branch so the untaken branch cannot emit NaN cotangents.
-    cos_safe = jnp.where(small, jnp.zeros_like(cos_t), cos_t)
-    t = jnp.arccos(cos_safe)
-    K = vee(R - jnp.swapaxes(R, -1, -2))
-    # θ/(2 sin θ): Taylor 1/2 + θ²/12 + 7θ⁴/720; on the small branch use
-    # θ² ≈ 2(1 − cos θ) ≈ ‖K‖²/4 which is exact enough below the threshold.
-    t_sq_small = 2.0 * (1.0 - jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    # Four pivot candidates: each equals 4·(that quaternion component)².
+    qw2 = 1.0 + m00 + m11 + m22
+    qx2 = 1.0 + m00 - m11 - m22
+    qy2 = 1.0 - m00 + m11 - m22
+    qz2 = 1.0 - m00 - m11 + m22
+    cands = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)
+    pivot = jnp.argmax(cands, axis=-1)
+    # The largest candidate is ≥ 1 (they sum to 4), so s is safely nonzero.
+    s = jnp.sqrt(jnp.maximum(jnp.max(cands, axis=-1), 1.0))  # = 2·|pivot comp|
+    d = 0.5 / s  # 1/(2s)
+    # Quaternion (w, x, y, z) for each pivot choice; identities used:
+    # m21−m12=4wx, m02−m20=4wy, m10−m01=4wz, m10+m01=4xy, m02+m20=4xz,
+    # m21+m12=4yz.
+    q_by_pivot = jnp.stack(
+        [
+            jnp.stack([0.5 * s, (m21 - m12) * d, (m02 - m20) * d, (m10 - m01) * d], axis=-1),
+            jnp.stack([(m21 - m12) * d, 0.5 * s, (m10 + m01) * d, (m02 + m20) * d], axis=-1),
+            jnp.stack([(m02 - m20) * d, (m10 + m01) * d, 0.5 * s, (m21 + m12) * d], axis=-1),
+            jnp.stack([(m10 - m01) * d, (m02 + m20) * d, (m21 + m12) * d, 0.5 * s], axis=-1),
+        ],
+        axis=-2,
+    )
+    q = jnp.take_along_axis(q_by_pivot, pivot[..., None, None], axis=-2)[..., 0, :]
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # hemisphere: θ ∈ [0, π]
+    qw = q[..., 0]
+    v = q[..., 1:]
+    nv_sq = jnp.sum(v * v, axis=-1)
+    small, nv = _safe_theta(nv_sq)  # ‖q_v‖ = sin(θ/2)
+    # w = θ/‖q_v‖ · q_v; θ/‖q_v‖ = 2·atan2(nv, qw)/nv, Taylor at nv→0
+    # (qw→1): 2/qw · (1 − nv²/(3qw²)).
+    qw_t = jnp.where(small, jnp.maximum(qw, 0.5), jnp.ones_like(qw))
     factor = jnp.where(
         small,
-        0.5 + t_sq_small / 12.0,
-        0.5 * t / jnp.where(small, jnp.ones_like(t), jnp.sin(t)),
+        (2.0 / qw_t) * (1.0 - nv_sq / (3.0 * qw_t * qw_t)),
+        2.0 * jnp.arctan2(nv, qw) / nv,
     )
-    return factor[..., None] * K
+    return factor[..., None] * v
 
 
 def left_jacobian(w):
@@ -131,17 +160,22 @@ def right_jacobian(w):
 
 
 def inverse_left_jacobian(w):
-    """J_l⁻¹ = I − K/2 + (1/θ² − (1+cosθ)/(2θ sinθ))·K²  (cf. so3.cpp:108-125)."""
+    """J_l⁻¹ = I − K/2 + (1/θ² − (1+cosθ)/(2θ sinθ))·K²  (cf. so3.cpp:108-125).
+
+    The trig factor is evaluated as 1/θ² − 1/(2θ·tan(θ/2)) — the same
+    function via the half-angle identity (1+cosθ)/sinθ ≡ 1/tan(θ/2) —
+    which stays finite-by-construction at θ = π where the raw form is 0/0.
+    """
     t_sq = _theta_sq(w)
     small, t = _safe_theta(t_sq)
     K = hat(w)
     K2 = K @ K
     safe_t_sq = jnp.where(small, jnp.ones_like(t_sq), t_sq)
-    # 1/θ² − (1+cosθ)/(2θ sinθ), Taylor: 1/12 + θ²/720 + θ⁴/30240
+    # 1/θ² − 1/(2θ tan(θ/2)), Taylor: 1/12 + θ²/720 + θ⁴/30240
     factor = jnp.where(
         small,
         1.0 / 12.0 + t_sq / 720.0 + t_sq * t_sq / 30240.0,
-        1.0 / safe_t_sq - (1.0 + jnp.cos(t)) / (2.0 * t * jnp.sin(t)),
+        1.0 / safe_t_sq - 1.0 / (2.0 * t * jnp.tan(0.5 * t)),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye - 0.5 * K + factor[..., None, None] * K2

@@ -34,28 +34,47 @@ def _compose(a, b):
     )
 
 
-def register_pair(src, tgt, *, method="icp", config=None, **kwargs):
-    """Align src onto tgt; returns (params6, LMResult)."""
+def register_pair(src, tgt, *, x0=None, method="icp", config=None, **kwargs):
+    """Align src onto tgt; returns (params6, LMResult).
+
+    x0 seeds the solve (motion-model / loop-closure prior). When no seed is
+    given and a correspondence gate (max_corr_dist) is set, a coarse
+    ungated pass runs first — a gate tighter than the initial misalignment
+    would otherwise reject every correspondence and stall the solve.
+    """
     if config is None:
         config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
     solver = gicp if method == "gicp" else icp
-    res = solver(src, tgt, config=config, **kwargs)
+    if x0 is None and kwargs.get("max_corr_dist") is not None:
+        coarse = dict(kwargs, max_corr_dist=None)
+        x0 = solver(src, tgt, config=config, **coarse).x
+    res = solver(src, tgt, x0, config=config, **kwargs)
     return res.x, res
 
 
-def scan_odometry(scans, *, method="icp", config=None, **kwargs):
+def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, **kwargs):
     """Sequential odometry over a list of (N, 3) scans.
 
     Returns (poses (K, 6) world poses, relative (K-1, 6) measurements).
     All scans should share a point count so the jitted registration solve is
     compiled once and reused (static shapes).
+
+    seed_motion: seed each pairwise solve with the previous relative
+    transform (constant-velocity motion model) — the standard front-end
+    prior that keeps the correspondence search inside its convergence
+    basin at realistic inter-scan motion.
     """
     poses = [jnp.zeros(6, dtype=jnp.asarray(scans[0]).dtype)]
     rels = []
+    prev_rel = None
     for k in range(1, len(scans)):
         # T_{k-1,k}: scan k into frame k-1
-        rel, _ = register_pair(scans[k], scans[k - 1], method=method, config=config, **kwargs)
+        x0 = prev_rel if seed_motion else None
+        rel, _ = register_pair(
+            scans[k], scans[k - 1], x0=x0, method=method, config=config, **kwargs
+        )
         rels.append(rel)
+        prev_rel = rel
         poses.append(_compose(poses[-1], rel))
     return jnp.stack(poses), (jnp.stack(rels) if rels else jnp.zeros((0, 6)))
 
@@ -85,8 +104,13 @@ def scan_slam(
     info = [information_scale * np.eye(6) for _ in range(K - 1)]
 
     for (i, j) in loop_closures:
+        # seed from the odometry estimate: z₀ = P_i⁻¹ · P_j — by loop-closure
+        # time the accumulated drift is exactly what this prior absorbs
+        Ti = se3.transform_from_params6(poses_odo[i])
+        Tj = se3.transform_from_params6(poses_odo[j])
+        z0 = _params6_of(jnp.linalg.inv(Ti) @ Tj)
         z, _ = register_pair(
-            scans[j], scans[i], method=method, config=config, **kwargs
+            scans[j], scans[i], x0=z0, method=method, config=config, **kwargs
         )
         edge_i.append(i)
         edge_j.append(j)

@@ -36,6 +36,43 @@ def test_exp_log_roundtrip(w):
     np.testing.assert_allclose(w_back, w, atol=1e-9)
 
 
+NEAR_PI_SAMPLES = [
+    np.array([np.pi, 0.0, 0.0]),                       # exactly π about an axis
+    np.array([0.0, 0.0, np.pi]),
+    (np.pi / np.sqrt(3.0)) * np.ones(3),               # π about a skew axis
+    np.array([np.pi - 1e-8, 0.0, 0.0]),                # just inside π
+    np.array([0.0, np.pi - 1e-4, 0.0]),
+    (np.pi - 1e-6) * np.array([0.6, -0.64, 0.48]) / 0.9977975145171559,
+]
+
+
+@pytest.mark.parametrize("w", NEAR_PI_SAMPLES, ids=range(len(NEAR_PI_SAMPLES)))
+def test_exp_log_roundtrip_near_pi(w):
+    """log must stay accurate through the θ → π singularity of the classic
+    vee(R−Rᵀ) formula (regression: half-turn poses on a loop trajectory got
+    ~17° errors before the quaternion-based log)."""
+    w = jnp.asarray(w / np.linalg.norm(w) * min(np.linalg.norm(w), np.pi), jnp.float64)
+    R = so3.exp(w)
+    w_back = so3.log(R)
+    # θ = π maps ±axis to the same rotation: compare as rotations
+    np.testing.assert_allclose(np.asarray(so3.exp(w_back)), np.asarray(R), atol=1e-12)
+    # and the angle must be exact
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(w_back)), np.linalg.norm(np.asarray(w)), atol=1e-12
+    )
+
+
+def test_inverse_left_jacobian_near_pi():
+    """J_l⁻¹'s trig factor is 0/0 at θ = π in its textbook form; the
+    half-angle rewrite must agree with an explicit matrix inverse there."""
+    for w in NEAR_PI_SAMPLES:
+        w = jnp.asarray(w, jnp.float64)
+        J = so3.left_jacobian(w)
+        Jinv = so3.inverse_left_jacobian(w)
+        np.testing.assert_allclose(np.asarray(Jinv @ J), np.eye(3), atol=1e-9)
+        assert np.all(np.isfinite(np.asarray(Jinv)))
+
+
 def test_exp_matches_rodrigues_reference_form():
     """Parity with reference so3::Exp (src/so3.cpp:59-75): Rodrigues formula."""
     w = jnp.array([0.3, 0.4, 0.5], dtype=jnp.float64)

@@ -1,0 +1,141 @@
+"""Standing SLAM-sequence benchmark: a reproducible 24-scan loop with
+sensor noise, ICP odometry, loop closures and pose-graph back-end.
+
+This is the BASELINE.md north-star accuracy check ("ATE within bound on
+benchmark sequences") as a pinned test: per-scan sensor noise makes every
+pairwise registration slightly wrong, the errors accumulate into visible
+odometry drift over the loop, and the loop-closure PGO must pull the
+trajectory back. Bounds are pinned with ~3× margin over measured values
+(seeded, deterministic). The reference has no sequence-level workload at
+all — its closest analogue is the single-pair fachada registration
+(/root/reference/tst/point2point.cpp); this extends that to the trajectory
+scale the domain actually cares about.
+
+Wall-clock numbers for this pipeline (frames/s on TPU) are recorded in
+docs/PERF.md via benchmarks/slam_sequence_bench.py, which drives the same
+`make_sequence` world.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moptimizer_0_tpu.core.solver import LMConfig
+from moptimizer_0_tpu.evaluation import ate_rmse, rpe
+from moptimizer_0_tpu.lie import se3, so3
+from moptimizer_0_tpu.odometry import scan_odometry, scan_slam
+
+K_SCANS = 24
+N_POINTS = 4096
+SENSOR_NOISE = 0.01  # 1 cm per-scan Gaussian noise — what creates drift
+
+# Pinned bounds (seed 42; measured ate_odo ≈ 9.1e-3, ate_slam ≈ 2.4e-3).
+ATE_ODOMETRY_BOUND = 0.05
+ATE_SLAM_BOUND = 0.01
+
+
+def make_world(rng, n=N_POINTS):
+    """A synthetic courtyard: four walls + ground, with surface jitter.
+
+    Strongly constrained in all 6 DoF so ICP is well-posed from any
+    viewpoint on the loop.
+    """
+    per = n // 5
+    s = 16.0  # courtyard half-size
+    u = rng.uniform(-s, s, size=(4, per))
+    v = rng.uniform(0.0, 6.0, size=(4, per))  # wall height
+    walls = [
+        np.column_stack([u[0], np.full(per, -s), v[0]]),
+        np.column_stack([u[1], np.full(per, s), v[1]]),
+        np.column_stack([np.full(per, -s), u[2], v[2]]),
+        np.column_stack([np.full(per, s), u[3], v[3]]),
+    ]
+    g = rng.uniform(-s, s, size=(n - 4 * per, 2))
+    ground = np.column_stack([g, np.zeros(len(g))])
+    world = np.vstack(walls + [ground])
+    world += 0.005 * rng.normal(size=world.shape)  # surface roughness
+    return world
+
+
+def loop_poses(k_scans=K_SCANS, radius=8.0):
+    """World poses around a circle, heading along the tangent — a closed
+    loop so the (0, K-1) loop closure is a short-range registration."""
+    poses = []
+    for k in range(k_scans):
+        th = 2 * np.pi * k / k_scans
+        t = np.array([radius * np.cos(th), radius * np.sin(th), 1.5])
+        w = so3.log(jnp.asarray(_yaw(th + np.pi / 2)))
+        poses.append(np.concatenate([t, np.asarray(w)]))
+    return jnp.asarray(np.stack(poses))
+
+
+def _yaw(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def make_sequence(seed=42):
+    """(scans, gt_poses): scan k is the world in sensor frame k + noise.
+
+    gt_poses are expressed in the frame of scan 0 (P₀ = I), matching the
+    odometry convention, so ATE can be computed with align=False.
+    """
+    rng = np.random.default_rng(seed)
+    world = make_world(rng)
+    gt_world = loop_poses()
+    Ts = [np.asarray(se3.transform_from_params6(jnp.asarray(p))) for p in np.asarray(gt_world)]
+    scans = []
+    for T in Ts:
+        Tinv = np.linalg.inv(T)
+        local = world @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = local + SENSOR_NOISE * rng.normal(size=local.shape)
+        scans.append(jnp.asarray(local, jnp.float64))
+    T0inv = np.linalg.inv(Ts[0])
+    gt_rel = []
+    for T in Ts:
+        Tr = T0inv @ T
+        w = so3.log(jnp.asarray(Tr[:3, :3]))
+        gt_rel.append(np.concatenate([Tr[:3, 3], np.asarray(w)]))
+    return scans, jnp.asarray(np.stack(gt_rel))
+
+
+@pytest.fixture(scope="module")
+def sequence_results():
+    scans, gt = make_sequence()
+    cfg = LMConfig(diff_mode="auto", max_iterations=40)
+    result, poses_odo = scan_slam(
+        scans,
+        method="icp",
+        loop_closures=[(0, K_SCANS - 1), (0, K_SCANS - 2)],
+        config=cfg,
+        nn_backend="grid",
+        max_corr_dist=0.5,
+    )
+    return scans, gt, poses_odo, result
+
+
+def test_odometry_drifts_within_bound(sequence_results):
+    _, gt, poses_odo, _ = sequence_results
+    ate_odo = float(ate_rmse(poses_odo, gt, align=False))
+    # noise genuinely accumulates (this is a drift benchmark, not a toy) …
+    assert ate_odo > 1e-4
+    # … but stays within the pinned odometry bound
+    assert ate_odo < ATE_ODOMETRY_BOUND
+
+
+def test_slam_ate_within_bound(sequence_results):
+    _, gt, poses_odo, result = sequence_results
+    ate_odo = float(ate_rmse(poses_odo, gt, align=False))
+    ate_slam = float(ate_rmse(result.poses, gt, align=False))
+    assert ate_slam < ATE_SLAM_BOUND
+    # loop closure must actually reduce the accumulated drift
+    assert ate_slam < ate_odo
+    assert np.isfinite(float(result.cost))
+
+
+def test_rpe_bounded(sequence_results):
+    """Per-step relative error stays at the sensor-noise scale — drift is
+    accumulation, not per-pair registration failure."""
+    _, gt, poses_odo, _ = sequence_results
+    trans_rpe = float(rpe(poses_odo, gt, delta=1)[0])
+    assert trans_rpe < 10 * SENSOR_NOISE
