@@ -123,6 +123,17 @@ def _linearize(problem):
     return jax.vmap(rj)(cams, pts, problem.pixels)
 
 
+def _outer_rows(X, Y):
+    """Σ_i X[...,i,:,None]·Y[...,i,None,:] over the i = 2 residual rows,
+    unrolled to broadcast elementwise sums: written as an einsum this is a
+    batch of (n,2)ᵀ(2,m) tiny dots, which the MXU runs ~100× off peak
+    (PERF.md finding 2); unrolled it fuses into pure VPU work."""
+    return (
+        X[..., 0, :, None] * Y[..., 0, None, :]
+        + X[..., 1, :, None] * Y[..., 1, None, :]
+    )
+
+
 def _gn_blocks(problem, r, A, B):
     """Segment-summed Gauss-Newton blocks. A robust loss (problem.loss)
     contributes an IRLS weight w = loss(‖r‖²) per observation on H,b only
@@ -137,17 +148,19 @@ def _gn_blocks(problem, r, A, B):
     else:
         Aw, Bw, rw = A, B, r
     U = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", Aw, A), problem.cam_idx, num_segments=C
+        _outer_rows(Aw, A), problem.cam_idx, num_segments=C
     )  # (C,6,6)
     V = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", Bw, B), problem.pt_idx, num_segments=L
+        _outer_rows(Bw, B), problem.pt_idx, num_segments=L
     )  # (L,3,3)
-    W = jnp.einsum("oij,oik->ojk", Aw, B)  # (O,6,3)
+    W = _outer_rows(Aw, B)  # (O,6,3)
     g = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", A, rw), problem.cam_idx, num_segments=C
+        A[:, 0, :] * rw[:, 0, None] + A[:, 1, :] * rw[:, 1, None],
+        problem.cam_idx, num_segments=C,
     )  # (C,6)
     h = jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", B, rw), problem.pt_idx, num_segments=L
+        B[:, 0, :] * rw[:, 0, None] + B[:, 1, :] * rw[:, 1, None],
+        problem.pt_idx, num_segments=L,
     )  # (L,3)
     return U, V, W, g, h
 
@@ -157,15 +170,42 @@ def _damp_blocks(M, lam):
     return M + lam * jax.vmap(jnp.diag)(d)
 
 
+def _inv3x3(A):
+    """Closed-form batched 3×3 inverse (adjugate/determinant).
+
+    jnp.linalg.inv on an (L,3,3) batch dispatches a generic LU per element;
+    unrolled this is a few fused VPU ops (cf. ba_dense._chol3x3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    idet = 1.0 / (a * co_a + b * co_b + c * co_c)
+    return (
+        jnp.stack(
+            [
+                jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+                jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+                jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+            ],
+            axis=-2,
+        )
+        * idet[..., None, None]
+    )
+
+
 def _schur_matvec(u, U_d, W, Vinv, cam_idx, pt_idx, C, L, cam_mask):
     """S·u with S = U' − W V'⁻¹ Wᵀ, matrix-free. u: (C,6)."""
     u = u * cam_mask  # fixed cameras contribute nothing
-    Uu = jnp.einsum("cij,cj->ci", U_d, u)  # (C,6)
-    Wu = jnp.einsum("oji,oj->oi", W, u[cam_idx])  # (O,3): W_oᵀ u_cam(o)
+    # batched small matvecs as broadcast sums (tiny-dot einsums are the
+    # slow path on TPU — PERF.md finding 2)
+    Uu = jnp.sum(U_d * u[:, None, :], axis=-1)  # (C,6)
+    Wu = jnp.sum(W * u[cam_idx][:, :, None], axis=1)  # (O,3): W_oᵀ u_cam(o)
     t = jax.ops.segment_sum(Wu, pt_idx, num_segments=L)  # (L,3)
-    s = jnp.einsum("lij,lj->li", Vinv, t)  # (L,3)
+    s = jnp.sum(Vinv * t[:, None, :], axis=-1)  # (L,3)
     back = jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", W, s[pt_idx]), cam_idx, num_segments=C
+        jnp.sum(W * s[pt_idx][:, None, :], axis=-1), cam_idx, num_segments=C
     )  # (C,6)
     return (Uu - back) * cam_mask
 
@@ -206,18 +246,16 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
 
     U_d = _damp_blocks(U, lam)
     V_d = _damp_blocks(V, lam)
-    Vinv = jnp.linalg.inv(
-        V_d + 1e-12 * jnp.eye(3, dtype=dtype)
-    )  # (L,3,3) tiny blocks
+    Vinv = _inv3x3(V_d + 1e-12 * jnp.eye(3, dtype=dtype))  # (L,3,3)
 
     cam_mask = (
         (jnp.arange(C) >= problem.n_fixed_cameras).astype(dtype)[:, None]
     )  # (C,1)
 
     # rhs = −(g − W V'⁻¹ h)  (we solve for δ with H δ = −b convention, src:80)
-    t = jnp.einsum("lij,lj->li", Vinv, h)
+    t = jnp.sum(Vinv * h[:, None, :], axis=-1)
     rhs = -(g - jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", W, t[problem.pt_idx]),
+        jnp.sum(W * t[problem.pt_idx][:, None, :], axis=-1),
         problem.cam_idx,
         num_segments=C,
     ))
@@ -232,18 +270,20 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
         ).reshape(-1)
 
     def pre(u):
-        return (jnp.einsum("cij,cj->ci", U_inv, u.reshape(C, 6)) * cam_mask).reshape(-1)
+        return (
+            jnp.sum(U_inv * u.reshape(C, 6)[:, None, :], axis=-1) * cam_mask
+        ).reshape(-1)
 
     d_cam = _pcg(mv, rhs.reshape(-1), pre, config.cg_iterations, config.cg_tol).reshape(C, 6)
     d_cam = d_cam * cam_mask
 
     # back-substitute landmarks: δl = V'⁻¹ (−h − Wᵀ δcam)
     Wtd = jax.ops.segment_sum(
-        jnp.einsum("oji,oj->oi", W, d_cam[problem.cam_idx]),
+        jnp.sum(W * d_cam[problem.cam_idx][:, :, None], axis=1),
         problem.pt_idx,
         num_segments=L,
     )
-    d_pt = jnp.einsum("lij,lj->li", Vinv, -h - Wtd)
+    d_pt = jnp.sum(Vinv * (-h - Wtd)[:, None, :], axis=-1)
     return d_cam, d_pt
 
 

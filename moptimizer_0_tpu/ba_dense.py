@@ -173,22 +173,48 @@ def _linearize_grouped(cams, pts, intr, grouped):
     g21 = _gather_cache(_camera_cache(cams), grouped, C)  # (L,K,21)
 
     def rj(q, p, pix):
-        R = q[:9].reshape(3, 3)
-        t = q[9:12]
-        Jr = q[12:].reshape(3, 3)
-        pc = R @ p + t
-        x, y, z = pc[0], pc[1], pc[2]
+        # Fully unrolled scalar arithmetic: under the double vmap every
+        # small matrix product here becomes a batched (L·K)-element tiny
+        # dot if written with @, which the MXU runs ~100× off peak (PERF.md
+        # finding 2, measured 384 ms → ~15 ms for this stage); unrolled it
+        # is pure fused VPU work.
+        R = [[q[0], q[1], q[2]], [q[3], q[4], q[5]], [q[6], q[7], q[8]]]
+        t = (q[9], q[10], q[11])
+        Jr = [[q[12], q[13], q[14]], [q[15], q[16], q[17]], [q[18], q[19], q[20]]]
+        p0, p1, p2 = p[0], p[1], p[2]
+        x = R[0][0] * p0 + R[0][1] * p1 + R[0][2] * p2 + t[0]
+        y = R[1][0] * p0 + R[1][1] * p1 + R[1][2] * p2 + t[1]
+        z = R[2][0] * p0 + R[2][1] * p1 + R[2][2] * p2 + t[2]
         iz = 1.0 / z
-        r = pix - jnp.stack([fx * x * iz + cx, fy * y * iz + cy])
-        Jpi = jnp.stack(
+        r = jnp.stack([pix[0] - (fx * x * iz + cx), pix[1] - (fy * y * iz + cy)])
+        # Jpi rows are sparse: [fx·iz, 0, −fx·x·iz²], [0, fy·iz, −fy·y·iz²]
+        a0, b0 = fx * iz, -fx * x * iz * iz
+        a1, b1 = fy * iz, -fy * y * iz * iz
+        # JpiR[α,m] collapses to two terms per entry
+        JpiR = [
+            [a0 * R[0][m] + b0 * R[2][m] for m in range(3)],
+            [a1 * R[1][m] + b1 * R[2][m] for m in range(3)],
+        ]
+        # Hp = hat(p) @ Jr
+        Hp = [
+            [-p2 * Jr[1][m] + p1 * Jr[2][m] for m in range(3)],
+            [p2 * Jr[0][m] - p0 * Jr[2][m] for m in range(3)],
+            [-p1 * Jr[0][m] + p0 * Jr[1][m] for m in range(3)],
+        ]
+        Arot = [
+            [sum(JpiR[al][i] * Hp[i][m] for i in range(3)) for m in range(3)]
+            for al in range(2)
+        ]
+        zero = jnp.zeros_like(iz)
+        A = jnp.stack(
             [
-                jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz * iz]),
-                jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz * iz]),
+                jnp.stack([-a0, zero, -b0] + Arot[0]),
+                jnp.stack([zero, -a1, -b1] + Arot[1]),
             ]
+        )  # (2,6)
+        B = jnp.stack(
+            [jnp.stack([-v for v in JpiR[0]]), jnp.stack([-v for v in JpiR[1]])]
         )  # (2,3)
-        JpiR = Jpi @ R
-        B = -JpiR
-        A = jnp.concatenate([-Jpi, JpiR @ (so3.hat(p) @ Jr)], axis=1)
         return r, A, B
 
     r, A, B = jax.vmap(jax.vmap(rj, (0, None, 0)))(g21, pts, grouped.pixels)
@@ -206,9 +232,13 @@ def _cost_grouped(cams, pts, intr, grouped, axis_name=None):
     g12 = _gather_cache(_camera_cache(cams, with_jacobian=False), grouped, C)
 
     def res(q, p, pix):
-        pc = q[:9].reshape(3, 3) @ p + q[9:12]
-        iz = 1.0 / pc[2]
-        return pix - jnp.stack([fx * pc[0] * iz + cx, fy * pc[1] * iz + cy])
+        # unrolled R·p + t (batched tiny dots are MXU poison — see
+        # _linearize_grouped)
+        x = q[0] * p[0] + q[1] * p[1] + q[2] * p[2] + q[9]
+        y = q[3] * p[0] + q[4] * p[1] + q[5] * p[2] + q[10]
+        z = q[6] * p[0] + q[7] * p[1] + q[8] * p[2] + q[11]
+        iz = 1.0 / z
+        return pix - jnp.stack([fx * x * iz + cx, fy * y * iz + cy])
 
     r = jax.vmap(jax.vmap(res, (0, None, 0)))(g12, pts, grouped.pixels)
     r = jnp.where(grouped.mask[..., None] > 0, r, 0.0)
@@ -238,17 +268,50 @@ def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None):
         Aw, Bw, rw = A, B, r
 
     oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, r.dtype)  # (L,K,C)
-    AtA = jnp.einsum("lkij,lkim->lkjm", Aw, A)  # (L,K,6,6)
+    # The i-contractions (i = 2 residual rows) are unrolled to broadcast
+    # elementwise sums (ba._outer_rows — einsum form is (L·K)-batched tiny
+    # dots, ~100× off MXU peak, PERF.md finding 2). Only the camera-axis
+    # one-hot contractions (huge L·K contraction dim) stay real matmuls.
+    AtA = ba._outer_rows(Aw, A)  # (L,K,6,6)
     U = jnp.einsum("lkc,lkjm->cjm", oh, AtA)  # one-hot matmul → (C,6,6)
-    V = jnp.einsum("lkij,lkim->ljm", Bw, B)  # sum over K → (L,3,3)
-    W = jnp.einsum("lkij,lkim->lkjm", Aw, B)  # (L,K,6,3)
-    Ar = jnp.einsum("lkij,lki->lkj", A, rw)  # (L,K,6)
+    V = jnp.sum(ba._outer_rows(Bw, B), axis=1)  # sum over K → (L,3,3)
+    W = ba._outer_rows(Aw, B)  # (L,K,6,3)
+    Ar = A[..., 0, :] * rw[..., 0, None] + A[..., 1, :] * rw[..., 1, None]  # (L,K,6)
     g = jnp.einsum("lkc,lkj->cj", oh, Ar)  # (C,6)
-    h = jnp.einsum("lkij,lki->lj", B, rw)  # (L,3)
+    h = jnp.sum(
+        B[..., 0, :] * rw[..., 0, None] + B[..., 1, :] * rw[..., 1, None], axis=1
+    )  # (L,3)
     if axis_name is not None:
         U = jax.lax.psum(U, axis_name)
         g = jax.lax.psum(g, axis_name)
     return U, V, W, g, h
+
+
+def _chol3x3(A):
+    """Closed-form lower Cholesky of a batched SPD 3×3 (textbook column
+    recursion, fully unrolled).
+
+    jnp.linalg.cholesky on a (L,3,3) batch dispatches the generic blocked
+    factorization per element (~97 ms at L=50k on v5e); this is a handful
+    of fused VPU ops (<1 ms)."""
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    l11 = jnp.sqrt(a11)
+    i11 = 1.0 / l11
+    l21 = a21 * i11
+    l31 = a31 * i11
+    l22 = jnp.sqrt(a22 - l21 * l21)
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    zero = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, zero, zero], axis=-1),
+            jnp.stack([l21, l22, zero], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
 
 
 def _tri_inv_lower(Lmat):
@@ -287,8 +350,12 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     C = U_d.shape[0]
     dtype = U_d.dtype
 
-    # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3)
-    G = jnp.einsum("lkij,lmj->lkim", W, Vinv_chol)
+    # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3) — broadcast
+    # elementwise over the 3-wide contraction (batched tiny-dot einsum is
+    # the slow path, PERF.md finding 2)
+    G = jnp.sum(
+        W[:, :, :, None, :] * Vinv_chol[:, None, None, :, :], axis=-1
+    )
 
     n_chunks = -(-L // chunk)
     pad = n_chunks * chunk - L
@@ -342,17 +409,18 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
     dtype = U.dtype
     U_d = ba._damp_blocks(U, lam)
     V_d = ba._damp_blocks(V, lam) + 1e-12 * jnp.eye(3, dtype=dtype)
-    # V'⁻¹ via Cholesky: V' = L Lᵀ → V'⁻¹ = L⁻ᵀ L⁻¹ ; Linv in closed form
-    Lv = jnp.linalg.cholesky(V_d)
+    # V'⁻¹ via Cholesky: V' = L Lᵀ → V'⁻¹ = L⁻ᵀ L⁻¹ ; both in closed form
+    # (batched 3×3 — tiny-dot einsums/lapack calls are the slow path here)
+    Lv = _chol3x3(V_d)
     Linv = _tri_inv_lower(Lv)  # (L,3,3)
-    Vinv = jnp.einsum("lji,ljk->lik", Linv, Linv)  # LinvᵀLinv
+    Vinv = jnp.sum(Linv[..., :, None] * Linv[..., None, :], axis=-3)  # LᵀL
 
     S = _build_schur(U_d, Linv, W, grouped, fixed_mask, chunk=chunk, axis_name=axis_name)
 
     # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
-    t = jnp.einsum("lij,lj->li", Vinv, h)  # (L,3)
+    t = jnp.sum(Vinv * h[:, None, :], axis=-1)  # (L,3)
     oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, dtype)
-    Wt = jnp.einsum("lkij,lj->lki", W, t)  # (L,K,6)
+    Wt = jnp.sum(W * t[:, None, None, :], axis=-1)  # (L,K,6)
     red = jnp.einsum("lkc,lki->ci", oh, Wt)  # (C,6)
     if axis_name is not None:
         red = jax.lax.psum(red, axis_name)
@@ -364,8 +432,8 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
 
     # back-substitute: δl = V'⁻¹ (−h − Σ_k W_lkᵀ δc[cam(l,k)])
     dc_g = jnp.einsum("lkc,ci->lki", oh, d_cam)  # (L,K,6) gather-as-matmul
-    Wtd = jnp.einsum("lkij,lki->lj", W, dc_g)  # (L,3)
-    d_pt = jnp.einsum("lij,lj->li", Vinv, -h - Wtd)
+    Wtd = jnp.sum(W * dc_g[..., :, None], axis=(1, 2))  # (L,3)
+    d_pt = jnp.sum(Vinv * (-h - Wtd)[:, None, :], axis=-1)
     return d_cam, d_pt
 
 

@@ -54,15 +54,20 @@ def _gn_blocks_full(problem, r, A, B, K):
         rw = w[:, None] * r
     else:
         Aw, Bw, Kw, rw = A, B, K, r
-    U = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Aw, A), problem.cam_idx, num_segments=C)
-    V = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Bw, B), problem.pt_idx, num_segments=L)
-    W = jnp.einsum("oij,oik->ojk", Aw, B)  # (O,6,3)
-    P = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Aw, K), problem.cam_idx, num_segments=C)  # (C,6,4)
-    Y = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Bw, K), problem.pt_idx, num_segments=L)  # (L,3,4)
-    Z = jnp.sum(jnp.einsum("oij,oik->ojk", Kw, K), axis=0)  # (4,4)
-    g = jax.ops.segment_sum(jnp.einsum("oij,oi->oj", A, rw), problem.cam_idx, num_segments=C)
-    h = jax.ops.segment_sum(jnp.einsum("oij,oi->oj", B, rw), problem.pt_idx, num_segments=L)
-    g_t = jnp.sum(jnp.einsum("oij,oi->oj", K, rw), axis=0)  # (4,)
+    # ba._outer_rows / broadcast sums instead of O-batched tiny-dot einsums
+    # (PERF.md finding 2)
+    def rows_dot(X, v):  # Σ_i X[:,i,:]·v[:,i] → (O, n)
+        return X[:, 0, :] * v[:, 0, None] + X[:, 1, :] * v[:, 1, None]
+
+    U = jax.ops.segment_sum(ba._outer_rows(Aw, A), problem.cam_idx, num_segments=C)
+    V = jax.ops.segment_sum(ba._outer_rows(Bw, B), problem.pt_idx, num_segments=L)
+    W = ba._outer_rows(Aw, B)  # (O,6,3)
+    P = jax.ops.segment_sum(ba._outer_rows(Aw, K), problem.cam_idx, num_segments=C)  # (C,6,4)
+    Y = jax.ops.segment_sum(ba._outer_rows(Bw, K), problem.pt_idx, num_segments=L)  # (L,3,4)
+    Z = jnp.sum(ba._outer_rows(Kw, K), axis=0)  # (4,4)
+    g = jax.ops.segment_sum(rows_dot(A, rw), problem.cam_idx, num_segments=C)
+    h = jax.ops.segment_sum(rows_dot(B, rw), problem.pt_idx, num_segments=L)
+    g_t = jnp.sum(rows_dot(K, rw), axis=0)  # (4,)
     return U, V, W, P, Y, Z, g, h, g_t
 
 
@@ -77,7 +82,7 @@ def _solve_delta_full(problem, blocks, lam, config):
     U_d = ba._damp_blocks(U, lam)
     V_d = ba._damp_blocks(V, lam)
     Z_d = Z + lam * jnp.diag(jnp.diagonal(Z))
-    Vinv = jnp.linalg.inv(V_d + 1e-12 * jnp.eye(3, dtype=dtype))
+    Vinv = ba._inv3x3(V_d + 1e-12 * jnp.eye(3, dtype=dtype))
 
     cam_mask = (jnp.arange(C) >= problem.n_fixed_cameras).astype(dtype)[:, None]
 
@@ -87,30 +92,35 @@ def _solve_delta_full(problem, blocks, lam, config):
     def unpack(u):
         return u[: 6 * C].reshape(C, 6), u[6 * C :]
 
+    # batched small matvecs as broadcast sums (tiny-dot einsums are the
+    # slow path on TPU — PERF.md finding 2)
+    def bmv(M, v):  # (n,i,j)·(n,j) → (n,i)
+        return jnp.sum(M * v[:, None, :], axis=-1)
+
     def matvec(u):
         u_c, u_t = unpack(u)
         u_c = u_c * cam_mask
         # direct blocks
-        out_c = jnp.einsum("cij,cj->ci", U_d, u_c) + jnp.einsum("cij,j->ci", P, u_t)
-        out_t = jnp.einsum("cij,ci->j", P, u_c) + Z_d @ u_t
+        out_c = bmv(U_d, u_c) + jnp.sum(P * u_t[None, None, :], axis=-1)
+        out_t = jnp.sum(P * u_c[:, :, None], axis=(0, 1)) + Z_d @ u_t
         # landmark elimination: t_l = V⁻¹ (Wᵀu_c + Y u_t) per landmark
-        Wu = jnp.einsum("oji,oj->oi", W, u_c[cam_idx])  # (O,3)
-        t = jax.ops.segment_sum(Wu, pt_idx, num_segments=L) + jnp.einsum(
-            "lij,j->li", Y, u_t
+        Wu = jnp.sum(W * u_c[cam_idx][:, :, None], axis=1)  # (O,3)
+        t = jax.ops.segment_sum(Wu, pt_idx, num_segments=L) + jnp.sum(
+            Y * u_t[None, None, :], axis=-1
         )
-        s = jnp.einsum("lij,lj->li", Vinv, t)
+        s = bmv(Vinv, t)
         out_c = out_c - jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", W, s[pt_idx]), cam_idx, num_segments=C
+            bmv(W, s[pt_idx]), cam_idx, num_segments=C
         )
-        out_t = out_t - jnp.einsum("lij,li->j", Y, s)
+        out_t = out_t - jnp.sum(Y * s[:, :, None], axis=(0, 1))
         return pack(out_c * cam_mask, out_t)
 
     # rhs = −(g_red) for both blocks
-    t0 = jnp.einsum("lij,lj->li", Vinv, h)
+    t0 = bmv(Vinv, h)
     r_c = -(g - jax.ops.segment_sum(
-        jnp.einsum("oij,oj->oi", W, t0[pt_idx]), cam_idx, num_segments=C
+        bmv(W, t0[pt_idx]), cam_idx, num_segments=C
     )) * cam_mask
-    r_t = -(g_t - jnp.einsum("lij,li->j", Y, t0))
+    r_t = -(g_t - jnp.sum(Y * t0[:, :, None], axis=(0, 1)))
     rhs = pack(r_c, r_t)
 
     # block-Jacobi preconditioner (U' blocks + Z' block)
@@ -119,7 +129,7 @@ def _solve_delta_full(problem, blocks, lam, config):
 
     def pre(u):
         u_c, u_t = unpack(u)
-        return pack(jnp.einsum("cij,cj->ci", U_inv, u_c) * cam_mask, Z_inv @ u_t)
+        return pack(bmv(U_inv, u_c) * cam_mask, Z_inv @ u_t)
 
     sol = ba._pcg(matvec, rhs, pre, config.cg_iterations, config.cg_tol)
     d_cam, d_t = unpack(sol)
@@ -127,9 +137,9 @@ def _solve_delta_full(problem, blocks, lam, config):
 
     # back-substitute: δl = V'⁻¹(−h − Wᵀδc − Y δθ)
     Wtd = jax.ops.segment_sum(
-        jnp.einsum("oji,oj->oi", W, d_cam[cam_idx]), pt_idx, num_segments=L
+        jnp.sum(W * d_cam[cam_idx][:, :, None], axis=1), pt_idx, num_segments=L
     )
-    d_pt = jnp.einsum("lij,lj->li", Vinv, -h - Wtd - jnp.einsum("lij,j->li", Y, d_t))
+    d_pt = bmv(Vinv, -h - Wtd - jnp.sum(Y * d_t[None, None, :], axis=-1))
     return d_cam, d_pt, d_t
 
 
