@@ -1,10 +1,22 @@
 """Speed-of-light accounting for the hot kernels (docs/PERF.md table).
 
-For each hot kernel: measured time at a size large enough to exit
-dispatch-bound territory, an explicit FLOP/byte cost model, and the
-achieved fraction of the v5e roofline (utils/profiling.roofline).
+For each hot kernel: an explicit FLOP/byte cost model and the achieved
+fraction of the v5e roofline (utils/profiling.roofline).
+
+Measurement protocol (tunnel-honest, PERF.md finding 5): the axon TPU
+tunnel adds a large (~20-25 ms) fixed latency per dispatch and
+`block_until_ready` can return before remote completion. So each kernel is
+applied K times inside ONE jitted `lax.fori_loop` (input perturbed by the
+loop index so XLA cannot hoist the loop-invariant computation; a scalar of
+the output is folded into the carry so nothing is dead), the result is
+fetched to the host (np.asarray), and per-application device time is the
+two-point slope (t(K2) - t(K1)) / (K2 - K1) — the fixed dispatch cost and
+the host fetch cancel exactly.
+
 Run on TPU: python -m benchmarks.roofline
 """
+
+import time
 
 import numpy as np
 
@@ -16,18 +28,28 @@ from moptimizer_0_tpu.ops import block_cholesky, icp_linearize, nn_search
 from moptimizer_0_tpu.utils import profiling
 
 
-def bench(fn, *args, reps=10):
-    import time
+def chain_time(step, k, reps=3):
+    """Wall time of k chained kernel applications in one dispatch."""
 
-    np.asarray(jax.block_until_ready(fn(*args))[0] if isinstance(fn(*args), tuple) else fn(*args))
+    @jax.jit
+    def run(c0):
+        return jax.lax.fori_loop(0, k, step, c0)
+
+    c0 = jnp.zeros((), jnp.float32)
+    np.asarray(run(c0))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        out = out[0] if isinstance(out, tuple) else out
-        np.asarray(out)  # force host fetch — tunnel-honest sync (PERF.md #5)
+        np.asarray(run(c0))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def slope_bench(step, k1=2, k2=10, reps=3):
+    """Per-application device seconds via the two-point slope in K."""
+    t1 = chain_time(step, k1, reps)
+    t2 = chain_time(step, k2, reps)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
 def fused_linearize_row(N):
@@ -42,37 +64,63 @@ def fused_linearize_row(N):
     src = jnp.asarray(rng.uniform(0, 30, (N, 3)).astype(np.float32))
     tgt = src + 0.01
     loss = TrivialLoss()
-    x = jnp.zeros(6, jnp.float32)
+    x0 = jnp.zeros(6, jnp.float32)
 
-    f = jax.jit(lambda s, t, x: icp_linearize.icp_linearize(s, t, x, loss)[1])
-    dt = bench(f, src, tgt, x)
+    def step(i, c):
+        # perturb the DATA (not just x): the moment sweep is x-independent,
+        # so an x-only perturbation lets XLA hoist the whole HBM pass out of
+        # the chain. The adds fuse into the sweep — no extra HBM traffic.
+        eps = i.astype(jnp.float32) * 1e-30 + c * 1e-30
+        H = icp_linearize.icp_linearize(src + eps, tgt + eps, x0, loss)[1]
+        return c + H[0, 0] * 1e-30
+
+    # chain long enough that the per-iteration HBM sweep (N·24 B / 819 GB/s)
+    # rises well above the tunnel's ms-scale dispatch jitter
+    k2 = max(40, int(4e8 / N))
+    dt = slope_bench(step, k1=max(4, k2 // 10), k2=k2)
     r = profiling.roofline(dt, flops=85 * N, bytes_accessed=24 * N)
     return (f"fused ICP linearize ({N/1e6:.0f}M pts)", dt, r)
 
 
 def nn_row(Q, M):
-    """Pallas brute-force NN: distance eval ≈ 8 FLOP/pair (2·3 cross-term
-    MAC + norm/compare); running argmin in VMEM. Compute-bound — but on
-    cross-terms of K=3, i.e. VPU-class work, so account vs the f32 matmul
-    ceiling to show how far a K=3 contraction sits from MXU light."""
+    """Pallas brute-force NN: ~8 FLOP/pair (2·3 cross-term MAC at
+    precision=HIGHEST ⇒ 6 passes, + norm/compare). The contraction depth is
+    K=3, so the MXU runs 3/128-occupied by construction — accounted against
+    the f32-matmul ceiling to show how far a K=3 contraction sits from MXU
+    light; the useful metric is candidate pairs/s."""
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.uniform(0, 30, (Q, 3)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0, 30, (M, 3)).astype(np.float32))
-    f = jax.jit(lambda a, b: nn_search.nearest_neighbors(a, b))
-    dt = bench(f, q, t, reps=5)
+
+    def step(i, c):
+        q2 = q.at[0, 0].add(i.astype(jnp.float32) * 1e-6 + c * 1e-30)
+        _, d = nn_search.nearest_neighbors(q2, t)
+        return c + d[0] * 1e-30
+
+    dt = slope_bench(step, k1=1, k2=4)
     r = profiling.roofline(dt, flops=8.0 * Q * M, bytes_accessed=4 * 3 * (Q + M))
-    return (f"NN search Pallas ({Q//1000}k × {M//1000}k)", dt, r)
+    row = (f"NN search Pallas ({Q//1000}k × {M//1000}k)", dt, r)
+    print(f"    pairs/s: {Q*M/dt/1e9:.1f} G", flush=True)
+    return row
 
 
-def cholesky_row(n):
-    """Blocked MXU Cholesky+inverse: 2·n³/3 FLOPs of near-pure matmul."""
+def cholesky_row(n, method):
+    """Camera-system SPD solve at n=6C: n³/3 useful FLOPs (factor), near-pure
+    panel matmuls — accounted vs the f32-matmul ceiling."""
     rng = np.random.default_rng(2)
     A = rng.standard_normal((n, n)).astype(np.float32)
-    A = jnp.asarray(A @ A.T / n + n * np.eye(n, dtype=np.float32))
-    f = jax.jit(lambda A: block_cholesky.blocked_cholesky_and_inverse(A, base=256)[0])
-    dt = bench(f, A, reps=5)
-    r = profiling.roofline(dt, flops=2 * n**3 / 3, bytes_accessed=2 * 4 * n * n)
-    return (f"blocked Cholesky+inv (n={n})", dt, r)
+    A = jnp.asarray((A + A.T) / 2 + n * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def step(i, c):
+        A2 = A + (i.astype(jnp.float32) * 1e-6 + c * 1e-30) * jnp.eye(n, dtype=A.dtype)
+        x = block_cholesky.spd_solve(A2, b, method)
+        return c + x[0] * 1e-30
+
+    k2 = 4 if method == "blocked" else 8
+    dt = slope_bench(step, k1=1, k2=k2, reps=2)
+    r = profiling.roofline(dt, flops=n**3 / 3, bytes_accessed=2 * 4 * n * n)
+    return (f"SPD solve {method} (n={n})", dt, r)
 
 
 def schur_build_row(C=200, L=50_000, K=25, chunk=512):
@@ -93,10 +141,13 @@ def schur_build_row(C=200, L=50_000, K=25, chunk=512):
         mask=jnp.ones((L, K), jnp.float32),
     )
     fixed = jnp.ones(C, jnp.float32)
-    f = jax.jit(
-        lambda U_d, Vc, W: ba_dense._build_schur(U_d, Vc, W, grouped, fixed, chunk)
-    )
-    dt = bench(f, U_d, Vc, W, reps=5)
+
+    def step(i, c):
+        W2 = W * (1.0 + i.astype(jnp.float32) * 1e-7 + c * 1e-30)
+        S = ba_dense._build_schur(U_d, Vc, W2, grouped, fixed, chunk)
+        return c + S[0, 0] * 1e-30
+
+    dt = slope_bench(step, k1=1, k2=4)
     flops = 2.0 * 3 * L * (6 * C) ** 2  # the A2ᵀA2 accumulation
     bytes_a = 4.0 * (L * K * 18 + L * K * 18)  # read W, write+reread G
     r = profiling.roofline(dt, flops=flops, bytes_accessed=bytes_a)
@@ -104,17 +155,21 @@ def schur_build_row(C=200, L=50_000, K=25, chunk=512):
 
 
 def main():
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
     rows = []
-    for N in (1_000_000, 16_000_000):
-        rows.append(fused_linearize_row(N))
-    rows.append(nn_row(29_310, 29_310))
-    rows.append(cholesky_row(6 * 2048))
-    rows.append(schur_build_row())
+    for make in (
+        lambda: fused_linearize_row(1_000_000),
+        lambda: fused_linearize_row(16_000_000),
+        lambda: nn_row(29_310, 29_310),
+        lambda: cholesky_row(6 * 2048, "xla"),
+        lambda: cholesky_row(6 * 2048, "blocked"),
+        lambda: schur_build_row(),
+    ):
+        row = make()
+        print(f"done: {row[0]} {row[1]*1e3:.3f} ms/app", flush=True)
+        rows.append(row)
 
-    print(
-        "\n| Kernel | Time | GFLOP/s | GB/s | Bound | % of roofline |"
-    )
+    print("\n| Kernel | Device time | GFLOP/s | GB/s | Bound | % of roofline |")
     print("|---|---|---|---|---|---|")
     for name, dt, r in rows:
         print(
