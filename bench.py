@@ -67,19 +67,24 @@ def _time_solve(problem, x0, config, devices, jax, reps=4):
                 # carry-perturbed start prevents cross-iteration CSE while
                 # staying in the convergence basin
                 res = levenberg_marquardt(problem, x0 + 1e-6 * carry, config)
-                return res.x, res.cost
+                return res.x, (res.cost, res.iterations)
 
-            xs, costs = jax.lax.scan(
+            xs, (costs, iters) = jax.lax.scan(
                 body, jnp.zeros_like(x0), None, length=K
             )
-            return xs[-1], costs
+            return xs[-1], costs, iters
 
         return run_k
 
     k1, k2 = 2, 12
     f1, f2 = make(k1), make(k2)
     np.asarray(f1(problem, x0)[0])  # warm-up compile + execute
-    np.asarray(f2(problem, x0)[0])
+    out2 = f2(problem, x0)
+    np.asarray(out2[0])
+    # executed outer LM iterations of every timed solve: the while_loop can
+    # exit early on convergence, so alignments/s is only interpretable with
+    # this number attached (VERDICT r2 weak #2)
+    iters = np.asarray(out2[2])
     t1 = t2 = float("inf")
     for _ in range(reps):  # interleaved so transport drift cancels in the slope
         t0 = time.perf_counter()
@@ -88,7 +93,7 @@ def _time_solve(problem, x0, config, devices, jax, reps=4):
         t0 = time.perf_counter()
         np.asarray(f2(problem, x0)[0])
         t2 = min(t2, time.perf_counter() - t0)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    return max((t2 - t1) / (k2 - k1), 1e-9), iters
 
 
 def _make_ba_problem(O, C, L, jnp, dtype=np.float32, seed=0):
@@ -198,8 +203,9 @@ def main():
 
     prob = _make_problem(np.float32 if on_tpu else np.float64, jnp)
     x0 = jnp.zeros(6, dtype=dtype)
-    t_accel = _time_solve(prob, x0, cfg_tpu, accel, jax)
+    t_accel, iters_accel = _time_solve(prob, x0, cfg_tpu, accel, jax)
     value = 1.0 / t_accel
+    it_lo, it_hi = int(iters_accel.min()), int(iters_accel.max())
 
     # Second north-star metric (BASELINE.md): dense-Schur BA outer-iters/s.
     extra = []
@@ -227,7 +233,7 @@ def main():
             prob_cpu = _make_problem(np.float64, jnp)
             assert prob_cpu.blocks[0].data["src"].dtype == jnp.float64
             cfg_cpu = LMConfig(diff_mode="fd", max_iterations=15)
-            t_cpu = _time_solve(prob_cpu, jnp.zeros(6, dtype=jnp.float64), cfg_cpu, cpu, jax, reps=2)
+            t_cpu, _ = _time_solve(prob_cpu, jnp.zeros(6, dtype=jnp.float64), cfg_cpu, cpu, jax, reps=2)
         vs_baseline = (1.0 / t_accel) / (1.0 / t_cpu)
     except Exception as e:  # CPU backend unavailable — report raw throughput
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
@@ -237,7 +243,11 @@ def main():
             {
                 "metric": "icp_alignments_per_sec",
                 "value": round(value, 3),
-                "unit": "alignments/s (29310-pt cloud, full 15-iter LM solve)",
+                "unit": (
+                    "alignments/s (29310-pt cloud, LM max 15 outer iters, "
+                    f"executed {it_lo}" + (f"-{it_hi}" if it_hi != it_lo else "")
+                    + " per solve)"
+                ),
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
                 "extra_metrics": extra,
             }

@@ -46,10 +46,23 @@ def chain_time(step, k, reps=3):
 
 
 def slope_bench(step, k1=2, k2=10, reps=3):
-    """Per-application device seconds via the two-point slope in K."""
+    """Per-application device seconds via the two-point slope in K.
+
+    Returns (dt, valid). A non-positive slope (t2 <= t1) means the chained
+    device work never rose above the tunnel's dispatch jitter — the
+    measurement FAILED; the row must be marked invalid, not clamped to an
+    absurd throughput (ADVICE r2 #1).
+    """
     t1 = chain_time(step, k1, reps)
     t2 = chain_time(step, k2, reps)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    if t2 <= t1:
+        print(
+            f"    WARNING: non-positive slope (t({k1})={t1*1e3:.2f} ms >= "
+            f"t({k2})={t2*1e3:.2f} ms) — measurement invalid; widen k1/k2",
+            flush=True,
+        )
+        return (t2 - t1) / (k2 - k1), False
+    return (t2 - t1) / (k2 - k1), True
 
 
 def fused_linearize_row(N):
@@ -77,9 +90,9 @@ def fused_linearize_row(N):
     # chain long enough that the per-iteration HBM sweep (N·24 B / 819 GB/s)
     # rises well above the tunnel's ms-scale dispatch jitter
     k2 = max(40, int(4e8 / N))
-    dt = slope_bench(step, k1=max(4, k2 // 10), k2=k2)
+    dt, valid = slope_bench(step, k1=max(4, k2 // 10), k2=k2)
     r = profiling.roofline(dt, flops=85 * N, bytes_accessed=24 * N)
-    return (f"fused ICP linearize ({N/1e6:.0f}M pts)", dt, r)
+    return dict(name=f"fused ICP linearize ({N/1e6:.0f}M pts)", dt=dt, r=r, valid=valid)
 
 
 def nn_row(Q, M):
@@ -97,16 +110,26 @@ def nn_row(Q, M):
         _, d = nn_search.nearest_neighbors(q2, t)
         return c + d[0] * 1e-30
 
-    dt = slope_bench(step, k1=1, k2=4)
+    # k gap widened from (1,4) — the ~35 ms kernel needs a chain long enough
+    # that slope noise cannot flip the sign under tunnel jitter (ADVICE r2 #1)
+    dt, valid = slope_bench(step, k1=2, k2=10)
     r = profiling.roofline(dt, flops=8.0 * Q * M, bytes_accessed=4 * 3 * (Q + M))
-    row = (f"NN search Pallas ({Q//1000}k × {M//1000}k)", dt, r)
     print(f"    pairs/s: {Q*M/dt/1e9:.1f} G", flush=True)
-    return row
+    return dict(name=f"NN search Pallas ({Q//1000}k × {M//1000}k)", dt=dt, r=r, valid=valid)
 
 
 def cholesky_row(n, method):
     """Camera-system SPD solve at n=6C: n³/3 useful FLOPs (factor), near-pure
-    panel matmuls — accounted vs the f32-matmul ceiling."""
+    panel matmuls — accounted vs the f32-matmul ceiling.
+
+    The per-iteration perturbation materializes a fresh A2 (the loop-invariant
+    A cannot be updated in place), an O(n²) read+write that IS in the timed
+    chain — so its bytes are folded into the cost model rather than silently
+    deflating the roofline fraction (ADVICE r2 #3). For method="blocked" the
+    kernel EXECUTES ~2n³/3 FLOPs (factor + co-recursed inverse factor) while
+    only n³/3 are "useful"; both throughputs are reported so the A/B table
+    cannot be misread as a 2× utilization gap (ADVICE r2 #2).
+    """
     rng = np.random.default_rng(2)
     A = rng.standard_normal((n, n)).astype(np.float32)
     A = jnp.asarray((A + A.T) / 2 + n * np.eye(n, dtype=np.float32))
@@ -117,10 +140,16 @@ def cholesky_row(n, method):
         x = block_cholesky.spd_solve(A2, b, method)
         return c + x[0] * 1e-30
 
-    k2 = 4 if method == "blocked" else 8
-    dt = slope_bench(step, k1=1, k2=k2, reps=2)
-    r = profiling.roofline(dt, flops=n**3 / 3, bytes_accessed=2 * 4 * n * n)
-    return (f"SPD solve {method} (n={n})", dt, r)
+    k1, k2 = (1, 5) if method == "blocked" else (2, 10)
+    dt, valid = slope_bench(step, k1=k1, k2=k2, reps=2)
+    executed = (2 * n**3 / 3) if method == "blocked" else (n**3 / 3)
+    # bytes: factor read+write of A (2·4n²) + perturbation materialization
+    # read+write (2·4n²), all inside the timed chain
+    r = profiling.roofline(dt, flops=n**3 / 3, bytes_accessed=4 * 4 * n * n)
+    note = ""
+    if method == "blocked":
+        note = f"executes 2n³/3 ⇒ {executed / dt / 1e9:.0f} GFLOP/s hardware"
+    return dict(name=f"SPD solve {method} (n={n})", dt=dt, r=r, valid=valid, note=note)
 
 
 def schur_build_row(C=200, L=50_000, K=25, chunk=512):
@@ -147,11 +176,11 @@ def schur_build_row(C=200, L=50_000, K=25, chunk=512):
         S = ba_dense._build_schur(U_d, Vc, W2, grouped, fixed, chunk)
         return c + S[0, 0] * 1e-30
 
-    dt = slope_bench(step, k1=1, k2=4)
+    dt, valid = slope_bench(step, k1=2, k2=8)
     flops = 2.0 * 3 * L * (6 * C) ** 2  # the A2ᵀA2 accumulation
     bytes_a = 4.0 * (L * K * 18 + L * K * 18)  # read W, write+reread G
     r = profiling.roofline(dt, flops=flops, bytes_accessed=bytes_a)
-    return (f"dense-Schur S build (C={C}, L={L//1000}k, K={K})", dt, r)
+    return dict(name=f"dense-Schur S build (C={C}, L={L//1000}k, K={K})", dt=dt, r=r, valid=valid)
 
 
 def main():
@@ -166,16 +195,20 @@ def main():
         lambda: schur_build_row(),
     ):
         row = make()
-        print(f"done: {row[0]} {row[1]*1e3:.3f} ms/app", flush=True)
+        print(f"done: {row['name']} {row['dt']*1e3:.3f} ms/app", flush=True)
         rows.append(row)
 
-    print("\n| Kernel | Device time | GFLOP/s | GB/s | Bound | % of roofline |")
-    print("|---|---|---|---|---|---|")
-    for name, dt, r in rows:
+    print("\n| Kernel | Device time | GFLOP/s | GB/s | Bound | % of roofline | Notes |")
+    print("|---|---|---|---|---|---|---|")
+    for row in rows:
+        name, dt, r = row["name"], row["dt"], row["r"]
+        if not row["valid"]:
+            print(f"| {name} | INVALID (non-positive slope) | — | — | — | — | re-run |")
+            continue
         print(
             f"| {name} | {dt*1e3:.2f} ms | {r['gflops_per_sec']:.0f} | "
             f"{r['gbytes_per_sec']:.0f} | {r['bound']} | "
-            f"{100*r['frac_of_light']:.0f}% |"
+            f"{100*r['frac_of_light']:.0f}% | {row.get('note', '')} |"
         )
 
 

@@ -1,9 +1,14 @@
-"""Final segment-op measurement: MARGINAL device time per op via two-point
-fit (K1, K2 loop lengths), canceling the (drifting, up to ~24ms) fixed
-dispatch cost of the axon relay. All candidates perturbed with a
-non-separable data dependency so nothing hoists.
+"""Segment-op A/B: scatter/gather vs one-hot MXU matmuls at BA scale.
 
-Decides the BA wiring: scatter/gather vs one-hot MXU matmuls.
+The one maintained benchmark behind PERF.md finding 4 ("sparse BA is TPU
+gather/scatter-bound") and the `ops/segmented.py` design: measures MARGINAL
+device time per op via a two-point fit (K1, K2 loop lengths), canceling the
+(drifting, up to ~24 ms) fixed dispatch cost of the axon relay. All
+candidates are perturbed with a non-separable data dependency so nothing
+hoists. Consolidates the round-1 `seg_*` exploration probes (VERDICT r2
+weak #7) — their conclusions live in `ops/segmented.py` + PERF.md.
+
+Run on TPU: python -m benchmarks.segment_ops_ab
 """
 
 import time

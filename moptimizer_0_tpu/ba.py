@@ -496,6 +496,11 @@ def ba_step(problem, lam, config=BAConfig()):
 # O-proportional work takes over.
 DENSE_MAX_CAMERAS = 3000
 DENSE_MAX_PADDING = 16.0
+# OOM guard: the dense engine's estimated peak HBM (ba_dense.dense_memory_bytes
+# — (L,K) grid + linearization products + S + factor) must leave headroom on
+# the 16 GB v5e for XLA temporaries and the caller's arrays; past this the
+# auto route falls back to the O-proportional CG engine instead of OOMing.
+DENSE_MAX_BYTES = 9e9
 
 
 def select_engine(problem):
@@ -503,7 +508,11 @@ def select_engine(problem):
     from moptimizer_0_tpu import ba_dense
 
     C = problem.camera_params.shape[0]
-    if C <= DENSE_MAX_CAMERAS and ba_dense.padding_factor(problem) <= DENSE_MAX_PADDING:
+    if (
+        C <= DENSE_MAX_CAMERAS
+        and ba_dense.padding_factor(problem) <= DENSE_MAX_PADDING
+        and ba_dense.dense_memory_bytes(problem) <= DENSE_MAX_BYTES
+    ):
         return "dense"
     return "cg"
 
@@ -518,10 +527,12 @@ def solve_ba(problem, config=BAConfig(), host_loop=False, engine="cg"):
     engine:
       "cg"    — matrix-free Schur preconditioned CG (this module).
       "dense" — explicit-Schur MXU engine (ba_dense.solve_ba_dense).
-      "auto"  — route on problem shape: dense while C ≤ DENSE_MAX_CAMERAS
-                and the landmark-grid padding factor (L·K)/O ≤
+      "auto"  — route on problem shape: dense while C ≤ DENSE_MAX_CAMERAS,
+                the landmark-grid padding factor (L·K)/O ≤
                 DENSE_MAX_PADDING (hub landmarks inflate the dense grid —
-                ba_dense.padding_factor), else CG.
+                ba_dense.padding_factor), and the estimated peak HBM
+                (ba_dense.dense_memory_bytes) ≤ DENSE_MAX_BYTES (OOM
+                guard); else CG.
 
     host_loop=True drives ba_step from Python (one dispatch per outer
     iteration) — useful for checkpointing/streaming; the default runs the

@@ -76,6 +76,29 @@ def padding_factor(problem):
     return L * K / O
 
 
+def dense_memory_bytes(problem):
+    """Rough peak-HBM estimate (bytes, f32) of the dense engine on `problem`.
+
+    Host-side, shapes only (one bincount — same cost class as
+    padding_factor). Two terms dominate:
+
+    * the (L, K) grid and its linearization products — per slot: pixels 8,
+      cam_ids 4, mask 4, camera cache g21 84, r 8, A 48, B 24, W=AᵀB 72
+      ≈ 250 B/slot (XLA temps for the chunked S build are bounded by the
+      chunk size, not L·K);
+    * the replicated camera system — S (6C)² plus its Cholesky factor.
+
+    `ba.select_engine` routes to the CG engine when this estimate exceeds
+    DENSE_MAX_BYTES, so a too-big S/grid falls back instead of OOMing
+    (VERDICT r2 task 5).
+    """
+    pt_idx = np.asarray(problem.pt_idx)
+    L = problem.points.shape[0]
+    K = max(int(np.bincount(pt_idx, minlength=L).max()), 1)
+    C = problem.camera_params.shape[0]
+    return 250.0 * L * K + 8.0 * (6 * C) ** 2
+
+
 def group_by_landmark(problem):
     """Reorder a BAProblem's observation arrays into the (L, K) grid.
 
