@@ -28,24 +28,33 @@ from moptimizer_0_tpu.ops import block_cholesky, icp_linearize, nn_search
 from moptimizer_0_tpu.utils import profiling
 
 
-def chain_time(step, k, reps=3):
-    """Wall time of k chained kernel applications in one dispatch."""
+def chain_time(step, k, args=(), reps=3):
+    """Wall time of k chained kernel applications in one dispatch.
+
+    Kernel inputs go through `args` (explicit jit parameters), NOT closures:
+    a closed-over device array is baked into the program as a literal and
+    the axon tunnel rejects compile requests past ~hundreds of MB
+    (HTTP 413) — and literal inputs also invite constant folding.
+    """
 
     @jax.jit
-    def run(c0):
-        return jax.lax.fori_loop(0, k, step, c0)
+    def run(c0, *arrays):
+        def body(i, c):
+            return step(i, c, *arrays)
+
+        return jax.lax.fori_loop(0, k, body, c0)
 
     c0 = jnp.zeros((), jnp.float32)
-    np.asarray(run(c0))  # compile + warm
+    np.asarray(run(c0, *args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(run(c0))
+        np.asarray(run(c0, *args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
-def slope_bench(step, k1=2, k2=10, reps=3):
+def slope_bench(step, k1=2, k2=10, args=(), reps=3):
     """Per-application device seconds via the two-point slope in K.
 
     Returns (dt, valid). A non-positive slope (t2 <= t1) means the chained
@@ -53,8 +62,8 @@ def slope_bench(step, k1=2, k2=10, reps=3):
     measurement FAILED; the row must be marked invalid, not clamped to an
     absurd throughput (ADVICE r2 #1).
     """
-    t1 = chain_time(step, k1, reps)
-    t2 = chain_time(step, k2, reps)
+    t1 = chain_time(step, k1, args, reps)
+    t2 = chain_time(step, k2, args, reps)
     if t2 <= t1:
         print(
             f"    WARNING: non-positive slope (t({k1})={t1*1e3:.2f} ms >= "
@@ -79,18 +88,23 @@ def fused_linearize_row(N):
     loss = TrivialLoss()
     x0 = jnp.zeros(6, jnp.float32)
 
-    def step(i, c):
-        # perturb the DATA (not just x): the moment sweep is x-independent,
+    def step(i, c, src, tgt):
+        # Perturb the DATA (not just x): the moment sweep is x-independent,
         # so an x-only perturbation lets XLA hoist the whole HBM pass out of
-        # the chain. The adds fuse into the sweep — no extra HBM traffic.
+        # the chain. Perturb src ONLY — perturbing both clouds lets the
+        # residual's eps cancel algebraically — and fold the FULL (H, b)
+        # into the carry: H's translation block is Σ I = N·I, a
+        # data-independent constant, so carrying H[0,0] alone lets XLA
+        # dead-code-eliminate the entire sweep (caught by the slope-validity
+        # check on the 16M row).
         eps = i.astype(jnp.float32) * 1e-30 + c * 1e-30
-        H = icp_linearize.icp_linearize(src + eps, tgt + eps, x0, loss)[1]
-        return c + H[0, 0] * 1e-30
+        _, H, b = icp_linearize.icp_linearize(src + eps, tgt, x0, loss)
+        return c + (jnp.sum(H) + jnp.sum(b)) * 1e-30
 
     # chain long enough that the per-iteration HBM sweep (N·24 B / 819 GB/s)
     # rises well above the tunnel's ms-scale dispatch jitter
     k2 = max(40, int(4e8 / N))
-    dt, valid = slope_bench(step, k1=max(4, k2 // 10), k2=k2)
+    dt, valid = slope_bench(step, k1=max(4, k2 // 10), k2=k2, args=(src, tgt))
     r = profiling.roofline(dt, flops=85 * N, bytes_accessed=24 * N)
     return dict(name=f"fused ICP linearize ({N/1e6:.0f}M pts)", dt=dt, r=r, valid=valid)
 
@@ -105,14 +119,14 @@ def nn_row(Q, M):
     q = jnp.asarray(rng.uniform(0, 30, (Q, 3)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0, 30, (M, 3)).astype(np.float32))
 
-    def step(i, c):
+    def step(i, c, q, t):
         q2 = q.at[0, 0].add(i.astype(jnp.float32) * 1e-6 + c * 1e-30)
         _, d = nn_search.nearest_neighbors(q2, t)
         return c + d[0] * 1e-30
 
     # k gap widened from (1,4) — the ~35 ms kernel needs a chain long enough
     # that slope noise cannot flip the sign under tunnel jitter (ADVICE r2 #1)
-    dt, valid = slope_bench(step, k1=2, k2=10)
+    dt, valid = slope_bench(step, k1=2, k2=10, args=(q, t))
     r = profiling.roofline(dt, flops=8.0 * Q * M, bytes_accessed=4 * 3 * (Q + M))
     print(f"    pairs/s: {Q*M/dt/1e9:.1f} G", flush=True)
     return dict(name=f"NN search Pallas ({Q//1000}k × {M//1000}k)", dt=dt, r=r, valid=valid)
@@ -135,13 +149,13 @@ def cholesky_row(n, method):
     A = jnp.asarray((A + A.T) / 2 + n * np.eye(n, dtype=np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
-    def step(i, c):
+    def step(i, c, A, b):
         A2 = A + (i.astype(jnp.float32) * 1e-6 + c * 1e-30) * jnp.eye(n, dtype=A.dtype)
         x = block_cholesky.spd_solve(A2, b, method)
         return c + x[0] * 1e-30
 
     k1, k2 = (1, 5) if method == "blocked" else (2, 10)
-    dt, valid = slope_bench(step, k1=k1, k2=k2, reps=2)
+    dt, valid = slope_bench(step, k1=k1, k2=k2, args=(A, b), reps=2)
     executed = (2 * n**3 / 3) if method == "blocked" else (n**3 / 3)
     # bytes: factor read+write of A (2·4n²) + perturbation materialization
     # read+write (2·4n²), all inside the timed chain
@@ -171,12 +185,12 @@ def schur_build_row(C=200, L=50_000, K=25, chunk=512):
     )
     fixed = jnp.ones(C, jnp.float32)
 
-    def step(i, c):
+    def step(i, c, U_d, Vc, W, grouped, fixed):
         W2 = W * (1.0 + i.astype(jnp.float32) * 1e-7 + c * 1e-30)
         S = ba_dense._build_schur(U_d, Vc, W2, grouped, fixed, chunk)
         return c + S[0, 0] * 1e-30
 
-    dt, valid = slope_bench(step, k1=2, k2=8)
+    dt, valid = slope_bench(step, k1=2, k2=8, args=(U_d, Vc, W, grouped, fixed))
     flops = 2.0 * 3 * L * (6 * C) ** 2  # the A2ᵀA2 accumulation
     bytes_a = 4.0 * (L * K * 18 + L * K * 18)  # read W, write+reread G
     r = profiling.roofline(dt, flops=flops, bytes_accessed=bytes_a)

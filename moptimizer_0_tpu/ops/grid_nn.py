@@ -102,7 +102,14 @@ def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
     slot = _hash_cells_np(cells, n_slots)
     order = np.argsort(slot, kind="stable")
     counts = np.bincount(slot, minlength=n_slots)
+    # Bucket capacity = max slot occupancy (losslessness), rounded up to a
+    # power of two: S is already pow2, so the whole (S, K) table shape is
+    # then stable across same-density clouds and the jitted query kernel is
+    # compiled ONCE per sequence instead of once per scan pair (the SLAM
+    # front-end regime, benchmarks/slam_sequence_bench.py). Padding slots
+    # carry idx −1 and are masked in the query; exactness is unaffected.
     K = max(int(counts.max()), 1)
+    K = 1 << int(np.ceil(np.log2(K)))
 
     starts = np.zeros(n_slots + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])

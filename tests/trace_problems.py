@@ -73,6 +73,53 @@ def _camera_calibration():
     return camera_reprojection_block(points, pixels), jnp.zeros(6, jnp.float64), {}
 
 
+def _camera_calibration_bad():
+    """The reference's BadWeather start (tst/camera_calibration.cpp:111-114):
+    x0 = (0.5, 0.5, 0.5, 0.2, 0.5, 0.5), 50 iterations."""
+    block, _, _ = _camera_calibration()
+    return (
+        block,
+        jnp.array([0.5, 0.5, 0.5, 0.2, 0.5, 0.5], jnp.float64),
+        dict(max_iterations=50),
+    )
+
+
+def _accelerometer():
+    """Gravity alignment r = m − R·g (reference models/accelerometer.h);
+    measurement synthesized from a known attitude.
+
+    x0 is the reference differentiation test's (0.1, 0, 0)
+    (tst/differentiation.cpp:172-174) rather than 0: at x = 0 the Gauss-
+    Newton H = [g]ₓᵀ[g]ₓ has an EXACT zero diagonal entry (rotation about
+    gravity is unobservable), so the reference's multiplicative λ·diag(H)
+    damping leaves the system exactly singular — from a generic start the
+    diagonal is positive and LM converges along the observable directions."""
+    from moptimizer_0_tpu.lie import so3
+    from moptimizer_0_tpu.models.accelerometer import GRAVITY, accelerometer_block
+
+    x_true = jnp.array([0.15, -0.1, 0.2], jnp.float64)
+    m = so3.exp(x_true) @ jnp.asarray(GRAVITY, jnp.float64)
+    return (
+        accelerometer_block(np.asarray(m), analytic=True),
+        jnp.array([0.1, 0.0, 0.0], jnp.float64),
+        {},
+    )
+
+
+def _state_model():
+    """15-DoF SO(3)×R¹² boxminus state (reference tst/state_model.cpp:83-112,
+    anchor rotation Exp(0.1,0.2,0.3), start at its x-vector values)."""
+    from moptimizer_0_tpu.models.state import product_state_block
+
+    anchor_lin = np.concatenate([[-0.4, 0.11, -0.9], np.zeros(9)])
+    block = product_state_block(np.array([0.1, 0.2, 0.3]), anchor_lin)
+    # large initial rotation offset: the log∘exp composition is genuinely
+    # nonlinear there, so the trace records several GN contractions instead
+    # of one (the linear R¹² part would converge in a single step)
+    x0 = np.concatenate([[0.9, -0.8, 0.6, 1.5, -2.0, 0.5], np.zeros(9)])
+    return block, jnp.asarray(x0, jnp.float64), dict(max_iterations=10)
+
+
 def _point2point():
     from moptimizer_0_tpu.lie import se3
     from moptimizer_0_tpu.models.point2point import point2point_block
@@ -93,6 +140,9 @@ PROBLEMS = {
     "powell": (_powell, ("fd", "auto", "analytic")),
     "simple_rational": (_simple_rational, ("fd", "auto", "analytic")),
     "camera_calibration": (_camera_calibration, ("fd", "auto")),
+    "camera_calibration_bad": (_camera_calibration_bad, ("fd", "auto")),
+    "accelerometer": (_accelerometer, ("fd", "auto", "analytic")),
+    "state_model": (_state_model, ("fd", "auto")),
     "point2point": (_point2point, ("fd", "auto")),
 }
 
