@@ -373,6 +373,14 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     C = U_d.shape[0]
     dtype = U_d.dtype
 
+    # chunk·C sizes the scan's live (chunk, C, 6, 3) camera-incidence
+    # tensor; past ~1M·18 floats the TPU worker crashes outright (measured:
+    # C=2000 × chunk=1024 kills the worker, chunk=512 runs — the ceiling
+    # benchmark, benchmarks/ba_engines_ab.py). Clamp to keep it under that,
+    # in 128-multiples for MXU-aligned (3·chunk, 6C) panels.
+    max_chunk = max(128, (1_050_000 // max(C, 1)) // 128 * 128)
+    chunk = min(chunk, max_chunk)
+
     # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3) — broadcast
     # elementwise over the 3-wide contraction (batched tiny-dot einsum is
     # the slow path, PERF.md finding 2)
@@ -409,11 +417,16 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
         S_corr = jax.lax.psum(S_corr, axis_name)
 
     S = -S_corr
-    idx = jnp.arange(C)
-    # add U' on the 6×6 diagonal blocks
-    S = S.reshape(C, 6, C, 6)
-    S = S.at[idx, :, idx, :].add(U_d)
-    S = S.reshape(C * 6, C * 6)
+    # Add U' on the 6×6 diagonal blocks via a flat 2-D scatter-add.
+    # NOT via S.reshape(C,6,C,6).at[idx,:,idx,:].add(U_d): XLA lays the
+    # 4-D view out with the 6s as minor dims and pads each (6,6) tile to
+    # (8,128) — a 21-28× HBM inflation that OOMs at C = 2000 (measured:
+    # 15 GB for the 550 MB S; benchmarks/ba_engines_ab.py ceiling run).
+    c6 = 6 * jnp.arange(C, dtype=jnp.int32)
+    i6 = jnp.arange(6, dtype=jnp.int32)
+    rows = (c6[:, None, None] + i6[None, :, None] + jnp.zeros((1, 1, 6), jnp.int32)).reshape(-1)
+    cols = (c6[:, None, None] + jnp.zeros((1, 6, 1), jnp.int32) + i6[None, None, :]).reshape(-1)
+    S = S.at[rows, cols].add(U_d.reshape(-1))
 
     # gauge fixing: identity rows/cols for fixed cameras
     free = jnp.repeat(fixed_mask, 6)  # (6C,) 1.0 = free
@@ -610,16 +623,63 @@ def _solve_dense_device(problem, grouped, config=DenseBAConfig()):
     )
 
 
-def solve_ba_dense(problem, config=DenseBAConfig(), grouped=None):
+def solve_ba_dense(problem, config=DenseBAConfig(), grouped=None, host_loop=False):
     """Full LM solve with the dense-Schur engine.
 
     Groups observations by landmark on the host (once — pass `grouped` to
     reuse across solves of the same incidence), then runs the whole solve in
     one jitted lax.while_loop dispatch.
+
+    host_loop=True drives ba_step_dense from Python — one dispatch per
+    outer iteration, same contract as ba.solve_ba(host_loop=True). Use for
+    checkpointing/streaming, and for very large problems where a single
+    multi-minute dispatch is undesirable (measured: at C = 2000, O = 2M
+    the 10-iteration while_loop is an ~80 s dispatch, which the axon
+    tunnel's watchdog kills; the 8 s host-stepped dispatches run fine —
+    benchmarks/ba_engines_ab.py ceiling run, docs/PERF.md).
     """
     if grouped is None:
         grouped = group_by_landmark(problem)
+    if host_loop:
+        return _solve_dense_host(problem, grouped, config)
     return _solve_dense_device(problem, grouped, config)
+
+
+def _solve_dense_host(problem, grouped, config):
+    dtype = problem.camera_params.dtype
+    n_it = config.max_iterations
+    lam = jnp.asarray(-1.0, dtype)
+    status = jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32)
+    records = []
+    executed = 0
+    for it in range(n_it):
+        cams, pts, lam, terminal, status, record = ba_step_dense(
+            problem, grouped, lam, config
+        )
+        problem = dataclasses.replace(problem, camera_params=cams, points=pts)
+        records.append(record)
+        if bool(terminal):
+            executed = it  # reference: executed_iterations_ not bumped on return
+            break
+        executed = it + 1
+
+    def _column(key):
+        col = np.full((n_it,), np.nan, dtype=np.float64)
+        for i, rec in enumerate(records):
+            col[i] = float(rec[key])
+        return jnp.asarray(col, dtype)
+
+    trace = {k: _column(k) for k in ("cost", "cost_new", "rho", "lam")}
+    return ba.BAResult(
+        camera_params=problem.camera_params,
+        points=problem.points,
+        status=status,
+        iterations=jnp.asarray(executed, jnp.int32),
+        cost=_cost_grouped(
+            problem.camera_params, problem.points, problem.intrinsics, grouped
+        ),
+        trace=trace,
+    )
 
 
 def _dense_loop_body(cams0, pts0, intr, grouped, loss, n_fixed, config, axis_name):

@@ -95,21 +95,32 @@ def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
     if not cell_size > 0:
         raise ValueError(f"cell_size must be positive; got {cell_size}")
 
-    cells = np.ascontiguousarray(np.floor(pts / cell_size).astype(np.int64))
-    n_occupied = len(np.unique(cells.view([("", cells.dtype)] * 3)))
+    cells = np.floor(pts / cell_size).astype(np.int64)
+    # occupied-cell count for table sizing via a 64-bit mixing key — exact
+    # up to astronomically-unlikely int64 collisions, and ~20× faster than
+    # np.unique over a structured 3-column view at M = 1M
+    key = (
+        cells[:, 0] * np.int64(73856093)
+        + cells[:, 1] * np.int64(19349663)
+        + cells[:, 2] * np.int64(83492791)
+    )
+    n_occupied = len(np.unique(key))
     n_slots = 1 << max(int(np.ceil(np.log2(max(occupancy_factor * n_occupied, 1)))), 4)
 
     slot = _hash_cells_np(cells, n_slots)
     order = np.argsort(slot, kind="stable")
     counts = np.bincount(slot, minlength=n_slots)
     # Bucket capacity = max slot occupancy (losslessness), rounded up to a
-    # power of two: S is already pow2, so the whole (S, K) table shape is
+    # multiple of 16: S is already pow2, so the whole (S, K) table shape is
     # then stable across same-density clouds and the jitted query kernel is
     # compiled ONCE per sequence instead of once per scan pair (the SLAM
-    # front-end regime, benchmarks/slam_sequence_bench.py). Padding slots
+    # front-end regime, benchmarks/slam_sequence_bench.py). A multiple of
+    # 16 (not a power of two) keeps the padding waste ≤ 16 slots — at 1M
+    # points the table is hundreds of MB and pow2 rounding up to doubled
+    # it, which dominated build time as tunnel transfer. Padding slots
     # carry idx −1 and are masked in the query; exactness is unaffected.
     K = max(int(counts.max()), 1)
-    K = 1 << int(np.ceil(np.log2(K)))
+    K = ((K + 15) // 16) * 16
 
     starts = np.zeros(n_slots + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
@@ -124,6 +135,87 @@ def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
     return HashGrid(
         table_idx=jnp.asarray(table_idx),
         table_pts=jnp.asarray(table_pts),
+        cell_size=jnp.asarray(cell_size, jnp.float32),
+    )
+
+
+def _count_distinct_sorted(sorted_keys):
+    return 1 + jnp.sum((sorted_keys[1:] != sorted_keys[:-1]).astype(jnp.int32))
+
+
+@jax.jit
+def _device_occupancy(cells32):
+    """Distinct-cell count from 32-bit mixed keys (device phase 1).
+
+    ~100 expected birthday collisions at M = 1M undercount the estimate
+    negligibly — it only sizes the table (occupancy_factor covers it)."""
+    key = (
+        cells32[:, 0] * jnp.int32(73856093)
+        + cells32[:, 1] * jnp.int32(19349663)
+        + cells32[:, 2] * jnp.int32(83492791)
+    )
+    return _count_distinct_sorted(jnp.sort(key))
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def _device_max_occupancy(cells32, n_slots):
+    slot = _hash_cells_jnp(cells32, n_slots)
+    counts = jnp.zeros((n_slots,), jnp.int32).at[slot].add(1)
+    return jnp.max(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "K"))
+def _device_fill_table(pts, cells32, n_slots, K):
+    M = pts.shape[0]
+    slot = _hash_cells_jnp(cells32, n_slots)
+    order = jnp.argsort(slot, stable=True)
+    slot_sorted = slot[order]
+    counts = jnp.zeros((n_slots,), jnp.int32).at[slot].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(M, dtype=jnp.int32) - starts[slot_sorted]
+    flat_pos = slot_sorted * K + rank
+    table_idx = (
+        jnp.full((n_slots * K,), -1, jnp.int32).at[flat_pos].set(order.astype(jnp.int32))
+    )
+    table_pts = (
+        jnp.zeros((n_slots * K, 3), jnp.float32).at[flat_pos].set(pts[order])
+    )
+    return table_idx.reshape(n_slots, K), table_pts.reshape(n_slots, K, 3)
+
+
+def build_hash_grid_device(points, cell_size, *, occupancy_factor=2.0):
+    """Device-side grid build — same table semantics as build_hash_grid.
+
+    The host build materializes the (S, K) table in numpy and ships it over
+    the host↔device link: at M = 1M that is a ~470 MB transfer, measured
+    ~12 s through the axon tunnel — vs a 12 MB cloud upload. Here the table
+    is built ON the device (hash, scatter-counted occupancy, stable argsort
+    bucketing); only two scalars (occupancy, max bucket) cross to the host,
+    because the table SHAPE must be static. Bucket CONTENT order may differ
+    from the host build (sort tie-breaking), which is semantically
+    irrelevant: queries reduce min/argmin over the bucket union.
+
+    Returns the same HashGrid pytree; use for large clouds already on
+    device (registration.make_searcher routes on size).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    if pts.ndim != 2 or pts.shape[1] != 3:
+        raise ValueError(f"points must be (M, 3); got {pts.shape}")
+    cell_size = float(cell_size)
+    if not cell_size > 0:
+        raise ValueError(f"cell_size must be positive; got {cell_size}")
+
+    cells32 = jnp.floor(pts / cell_size).astype(jnp.int32)
+    n_occupied = int(_device_occupancy(cells32))
+    n_slots = 1 << max(int(np.ceil(np.log2(max(occupancy_factor * n_occupied, 1)))), 4)
+    K = int(_device_max_occupancy(cells32, n_slots))
+    K = ((max(K, 1) + 15) // 16) * 16
+    table_idx, table_pts = _device_fill_table(pts, cells32, n_slots, K)
+    return HashGrid(
+        table_idx=table_idx,
+        table_pts=table_pts,
         cell_size=jnp.asarray(cell_size, jnp.float32),
     )
 

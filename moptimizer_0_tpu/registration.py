@@ -21,16 +21,35 @@ from moptimizer_0_tpu.lie import se3
 from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
 
 
+# Measured brute-vs-grid crossover (benchmarks/grid_nn_bench.py crossover,
+# v5e, Q = M, LiDAR-density clouds; docs/PERF.md): brute wins to 30k targets
+# (both dispatch-bound), grid wins from 100k (1.4×) and widens with M (3.3×
+# at 300k; brute is O(Q·M)). Routing threshold set between the two.
+GRID_AUTO_MIN_TARGETS = 50_000
+
+
 def make_searcher(tgt_cloud, nn_backend, max_corr_dist):
     """Correspondence searcher over a fixed target cloud: warped → (idx, d²).
 
-    nn_backend "auto"/"pallas"/"xla" run the O(Q·M) brute-force kernel;
-    "grid" builds a voxel hash grid ONCE here (host-side, outside jit —
-    the target never changes across LM iterations) with cell size =
-    max_corr_dist (or an estimated point spacing multiple) and queries its
-    27-cell neighborhood per iteration — the HBM-resident-scale path
-    (VERDICT round-1 item #2; the reference's `update()` hook, docs/Cost.puml).
+    nn_backend "pallas"/"xla" run the O(Q·M) brute-force kernel; "grid"
+    builds a voxel hash grid ONCE here (host-side, outside jit — the target
+    never changes across LM iterations) with cell size = max_corr_dist (or
+    an estimated point spacing multiple) and queries its 27-cell
+    neighborhood per iteration — the HBM-resident-scale path (the
+    reference's `update()` hook, docs/Cost.puml).
+
+    "auto" routes to the grid when the target cloud exceeds the measured
+    crossover (GRID_AUTO_MIN_TARGETS) AND a correspondence gate is set —
+    with cell = max_corr_dist the gated grid returns bit-identical
+    correspondence decisions to gated brute force (exact NN within the
+    gate, invalid beyond), so routing never changes semantics. Ungated
+    searches keep brute force (a grid must bound its search radius;
+    request "grid" explicitly to accept radius semantics at scale).
     """
+    if nn_backend == "auto":
+        on_grid_scale = tgt_cloud.shape[0] >= GRID_AUTO_MIN_TARGETS
+        if on_grid_scale and max_corr_dist is not None:
+            nn_backend = "grid"
     if nn_backend != "grid":
         return lambda warped: nearest_neighbors(
             warped, tgt_cloud, backend=nn_backend
@@ -38,6 +57,7 @@ def make_searcher(tgt_cloud, nn_backend, max_corr_dist):
 
     from moptimizer_0_tpu.ops.grid_nn import (
         build_hash_grid,
+        build_hash_grid_device,
         estimate_spacing,
         grid_nearest_neighbors,
     )
@@ -48,7 +68,11 @@ def make_searcher(tgt_cloud, nn_backend, max_corr_dist):
         # no radius given: matches past ~5× the typical spacing are not
         # useful ICP correspondences anyway; they come back invalid
         cell = 5.0 * estimate_spacing(tgt_cloud)
-    grid = build_hash_grid(tgt_cloud, cell)
+    # large tables: build on device — the host build ships the (S, K) table
+    # (~470 MB at 1M points) over the host↔device link, the device build
+    # only the cloud (measured 12 s → sub-second at 1M, docs/PERF.md)
+    build = build_hash_grid_device if tgt_cloud.shape[0] >= 100_000 else build_hash_grid
+    grid = build(tgt_cloud, cell)
     return lambda warped: grid_nearest_neighbors(warped, grid)
 
 
