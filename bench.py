@@ -96,6 +96,57 @@ def _time_solve(problem, x0, config, devices, jax, reps=4):
     return max((t2 - t1) / (k2 - k1), 1e-9), iters
 
 
+def _time_batched_solve(problem, x0, config, devices, jax, B=64, reps=3):
+    """Per-alignment seconds with B solves vmapped into one program.
+
+    The single-solve path is latency-bound (a 29k-pt cloud leaves the chip
+    mostly idle per LM iteration); levenberg_marquardt_batched turns the
+    accept/reject control flow into masking and runs B instances wide.
+    Same slope methodology as _time_solve."""
+    import jax.numpy as jnp
+
+    from moptimizer_0_tpu.core.solver import levenberg_marquardt_batched
+
+    x0 = jax.device_put(x0, devices[0])
+    problem = jax.device_put(problem, devices[0])
+    # per-instance start offsets (within the basin) so the B lanes are
+    # genuinely distinct solves
+    x0s = jnp.tile(x0, (B, 1)) + 1e-5 * jnp.arange(B, dtype=x0.dtype)[:, None]
+
+    def make(K):
+        @jax.jit
+        def run_k(problem, x0s):
+            def body(carry, _):
+                # batch_data=False: all B instances share the one cloud in
+                # HBM; per-instance x0 perturbations keep the solves distinct
+                res = levenberg_marquardt_batched(
+                    problem, x0s + 1e-6 * carry, config, batch_data=False
+                )
+                return res.x, res.iterations
+
+            xs, its = jax.lax.scan(body, jnp.zeros_like(x0s), None, length=K)
+            return xs[-1], its
+
+        return run_k
+
+    k1, k2 = 1, 5
+    f1, f2 = make(k1), make(k2)
+    np.asarray(f1(problem, x0s)[0])
+    out2 = f2(problem, x0s)
+    np.asarray(out2[0])
+    iters = np.asarray(out2[1])
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f1(problem, x0s)[0])
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(problem, x0s)[0])
+        t2 = min(t2, time.perf_counter() - t0)
+    per_batch = max((t2 - t1) / (k2 - k1), 1e-9)
+    return per_batch / B, iters
+
+
 def _make_ba_problem(O, C, L, jnp, dtype=np.float32, seed=0):
     """Synthetic BA instance at the north-star scale (BASELINE.md)."""
     import dataclasses
@@ -207,8 +258,26 @@ def main():
     value = 1.0 / t_accel
     it_lo, it_hi = int(iters_accel.min()), int(iters_accel.max())
 
-    # Second north-star metric (BASELINE.md): dense-Schur BA outer-iters/s.
     extra = []
+    # Batched-serving throughput: B=64 solves vmapped into one program
+    # (levenberg_marquardt_batched) — the single-solve path leaves the chip
+    # mostly idle per LM iteration at 29k points.
+    try:
+        t_b, iters_b = _time_batched_solve(prob, x0, cfg_tpu, accel, jax)
+        extra.append(
+            {
+                "metric": "icp_alignments_per_sec_batch64",
+                "value": round(1.0 / t_b, 3),
+                "unit": (
+                    "alignments/s (29310-pt cloud, B=64 vmapped solves, "
+                    f"executed {int(iters_b.min())}-{int(iters_b.max())} iters)"
+                ),
+            }
+        )
+    except Exception as e:
+        print(f"# batched benchmark failed: {e}", file=sys.stderr)
+
+    # Second north-star metric (BASELINE.md): dense-Schur BA outer-iters/s.
     try:
         t_ba = _time_ba_outer_iter(jax, jnp)
         extra.append(

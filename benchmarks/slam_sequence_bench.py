@@ -90,7 +90,13 @@ def main():
 
     scans, gt = make_sequence(K, N)
     cfg = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
-    kwargs = dict(method="icp", config=cfg, nn_backend="grid", max_corr_dist=0.5)
+    # compile-once pairwise solve (registration.PairwiseRegistrar): without
+    # it every pair retraces/recompiles (~16 s/pair through the tunnel,
+    # measured r3 — the motivating case for the registrar)
+    from moptimizer_0_tpu.registration import PairwiseRegistrar
+
+    reg = PairwiseRegistrar(config=cfg, nn_backend="grid", max_corr_dist=0.5)
+    kwargs = dict(method="icp", registrar=reg)
 
     # --- stage 1: odometry front-end (timed per pair; first pair = compile)
     poses = [jnp.zeros(6, jnp.float32)]

@@ -36,6 +36,7 @@ from moptimizer_0_tpu.core.solver import (
     LMResult,
     Status,
     levenberg_marquardt,
+    levenberg_marquardt_batched,
     lm_step,
 )
 from moptimizer_0_tpu.core import manifold

@@ -325,6 +325,55 @@ def levenberg_marquardt(problem, x0, config=LMConfig(), manifold=None):
     return _minimize_impl(problem, x0, config, manifold)
 
 
+@partial(jax.jit, static_argnames=("config", "manifold", "batch_data"))
+def levenberg_marquardt_batched(
+    problem, x0_batch, config=LMConfig(), manifold=None, batch_data=True
+):
+    """Solve B independent instances of one problem STRUCTURE in parallel.
+
+    TPU-native capability with no reference counterpart: `problem`'s data
+    leaves carry a leading batch axis B (every instance shares shapes and
+    functions — e.g. B scan pairs, B curve datasets), `x0_batch` is (B, P),
+    and the whole batch solves in ONE device program via vmap — the
+    accept/reject control flow becomes per-instance masking, so a batch
+    costs roughly one solve of the slowest instance instead of B dispatches.
+    Small-problem throughput scales near-linearly until the chip saturates
+    (measured: see docs/PERF.md "batched solves").
+
+    Returns an LMResult whose every field carries the leading B axis.
+    Data-independent blocks (data=None) are replicated, not batched.
+
+    batch_data=False: every instance shares ONE copy of the problem data
+    (no leading B axis on data leaves) and only x0 varies — B starts on the
+    same problem (multi-start globalization, or throughput benchmarking of
+    identical solves) without B× data replication in HBM.
+    """
+    from moptimizer_0_tpu.core.residual import Problem
+
+    if not isinstance(problem, Problem):
+        problem = Problem(blocks=(problem,))
+    if len(problem.blocks) == 0:
+        raise ValueError("No cost function added!")  # reference optimizer.h:48-51
+    x0_batch = jnp.asarray(x0_batch)
+
+    datas = tuple(b.data for b in problem.blocks)
+
+    def solve_one(datas_i, x0):
+        import dataclasses
+
+        blocks = tuple(
+            dataclasses.replace(b, data=d)
+            for b, d in zip(problem.blocks, datas_i)
+        )
+        return _minimize_impl(Problem(blocks=blocks), x0, config, manifold)
+
+    in_axes = (
+        tuple(None if (d is None or not batch_data) else 0 for d in datas),
+        0,
+    )
+    return jax.vmap(solve_one, in_axes=in_axes)(datas, x0_batch)
+
+
 @partial(jax.jit, static_argnames=("config", "manifold"))
 def lm_step(problem, x, lam, config=LMConfig(), manifold=None):
     """One outer LM iteration: (problem', x', λ', terminal, status, record).

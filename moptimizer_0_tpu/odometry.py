@@ -34,16 +34,25 @@ def _compose(a, b):
     )
 
 
-def register_pair(src, tgt, *, x0=None, method="icp", config=None, **kwargs):
+def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=None, **kwargs):
     """Align src onto tgt; returns (params6, LMResult).
 
     x0 seeds the solve (motion-model / loop-closure prior). When no seed is
     given and a correspondence gate (max_corr_dist) is set, a coarse
     ungated pass runs first — a gate tighter than the initial misalignment
     would otherwise reject every correspondence and stall the solve.
+
+    registrar: a registration.PairwiseRegistrar to reuse (compile-once path
+    for scan streams — scan_odometry builds one automatically); only valid
+    for method="icp".
     """
     if config is None:
         config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
+    if registrar is not None:
+        if method != "icp":
+            raise ValueError("registrar reuse is only supported for method='icp'")
+        res = registrar.register(src, tgt, x0=x0)
+        return res.x, res
     solver = gicp if method == "gicp" else icp
     if x0 is None and kwargs.get("max_corr_dist") is not None:
         coarse = dict(kwargs, max_corr_dist=None)
@@ -52,7 +61,18 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, **kwargs):
     return res.x, res
 
 
-def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, **kwargs):
+def make_registrar(method, config, **kwargs):
+    """PairwiseRegistrar for scan streams, or None when not applicable."""
+    if method != "icp":
+        return None
+    from moptimizer_0_tpu.registration import PairwiseRegistrar
+
+    if config is None:
+        config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
+    return PairwiseRegistrar(config=config, **kwargs)
+
+
+def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, registrar=None, **kwargs):
     """Sequential odometry over a list of (N, 3) scans.
 
     Returns (poses (K, 6) world poses, relative (K-1, 6) measurements).
@@ -64,6 +84,8 @@ def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, **kwarg
     prior that keeps the correspondence search inside its convergence
     basin at realistic inter-scan motion.
     """
+    if registrar is None:
+        registrar = make_registrar(method, config, **kwargs)
     poses = [jnp.zeros(6, dtype=jnp.asarray(scans[0]).dtype)]
     rels = []
     prev_rel = None
@@ -71,7 +93,8 @@ def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, **kwarg
         # T_{k-1,k}: scan k into frame k-1
         x0 = prev_rel if seed_motion else None
         rel, _ = register_pair(
-            scans[k], scans[k - 1], x0=x0, method=method, config=config, **kwargs
+            scans[k], scans[k - 1], x0=x0, method=method, config=config,
+            registrar=registrar, **({} if registrar else kwargs)
         )
         rels.append(rel)
         prev_rel = rel
@@ -95,7 +118,12 @@ def scan_slam(
     loop_closures: iterable of (i, j) scan-index pairs to register directly
     (scan j onto scan i). Returns the PGOResult plus the odometry-only poses.
     """
-    poses_odo, rels = scan_odometry(scans, method=method, config=config, **kwargs)
+    # loop closures share shapes with the odometry pairs — one compiled
+    # registrar serves the whole pipeline
+    registrar = make_registrar(method, config, **kwargs)
+    poses_odo, rels = scan_odometry(
+        scans, method=method, config=config, registrar=registrar, **kwargs
+    )
     K = len(scans)
 
     edge_i = list(range(K - 1))
@@ -110,7 +138,8 @@ def scan_slam(
         Tj = se3.transform_from_params6(poses_odo[j])
         z0 = _params6_of(jnp.linalg.inv(Ti) @ Tj)
         z, _ = register_pair(
-            scans[j], scans[i], x0=z0, method=method, config=config, **kwargs
+            scans[j], scans[i], x0=z0, method=method, config=config,
+            registrar=registrar, **({} if registrar else kwargs)
         )
         edge_i.append(i)
         edge_j.append(j)

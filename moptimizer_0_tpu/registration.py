@@ -13,11 +13,13 @@ for real, fully inside the jitted LM while_loop:
 * per evaluation (`prepare_fn`): params6 → 4×4 transform.
 """
 
+import jax
 import jax.numpy as jnp
 
 from moptimizer_0_tpu.core.residual import make_block, problem
 from moptimizer_0_tpu.core.solver import LMConfig, levenberg_marquardt
 from moptimizer_0_tpu.lie import se3
+from moptimizer_0_tpu.ops.grid_nn import grid_nearest_neighbors
 from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
 
 
@@ -76,25 +78,20 @@ def make_searcher(tgt_cloud, nn_backend, max_corr_dist):
     return lambda warped: grid_nearest_neighbors(warped, grid)
 
 
-def icp_block(
-    src,
-    tgt_cloud,
-    *,
-    loss=None,
-    max_corr_dist=None,
-    nn_backend="auto",
-    weight_matrix=None,
+def _icp_block_with_searcher(
+    src, tgt_cloud, searcher, *, loss=None, max_corr_dist=None, weight_matrix=None
 ):
-    """Point-to-point ICP block with per-iteration correspondence search.
+    """Build the ICP block around an externally-supplied searcher.
 
-    src: (N, 3) source points; tgt_cloud: (M, 3) target cloud (unaligned).
+    Shared by icp_block (which builds the searcher from a backend name) and
+    PairwiseRegistrar (which traces this with the grid/cloud as jit
+    arguments so the closures are created once per compile, not per call).
     """
     src = jnp.asarray(src)
     # tgt_cloud lives in the closure, not the data pytree: only per-residual
     # leaves (src, matched, valid) carry the vmapped leading axis.
     tgt_cloud = jnp.asarray(tgt_cloud)
     n = src.shape[0]
-    searcher = make_searcher(tgt_cloud, nn_backend, max_corr_dist)
 
     def prepare_fn(x):
         return se3.transform_from_params6(x)
@@ -136,6 +133,133 @@ def icp_block(
         linearize_fn=linearize_fn,
         name="icp",
     )
+
+
+def icp_block(
+    src,
+    tgt_cloud,
+    *,
+    loss=None,
+    max_corr_dist=None,
+    nn_backend="auto",
+    weight_matrix=None,
+):
+    """Point-to-point ICP block with per-iteration correspondence search.
+
+    src: (N, 3) source points; tgt_cloud: (M, 3) target cloud (unaligned).
+    """
+    tgt_cloud = jnp.asarray(tgt_cloud)
+    searcher = make_searcher(tgt_cloud, nn_backend, max_corr_dist)
+    return _icp_block_with_searcher(
+        src,
+        tgt_cloud,
+        searcher,
+        loss=loss,
+        max_corr_dist=max_corr_dist,
+        weight_matrix=weight_matrix,
+    )
+
+
+class PairwiseRegistrar:
+    """Compile-once pairwise ICP for scan streams (the SLAM front-end).
+
+    `icp()` builds fresh Python closures per call; jit keys on their
+    identity, so every call retraces — and on TPU recompiles. Measured on
+    the 64×32k SLAM benchmark through the axon tunnel: ~16 s per pair,
+    pure recompilation. This registrar creates the traced solve ONCE; per
+    pair only ARRAYS (source cloud, target cloud / hash-grid tables, seed)
+    cross the jit boundary, so every same-shape pair reuses the executable.
+    (Grid table shapes are density-stable by construction: S is a power of
+    two, K a multiple of 16 — ops/grid_nn.build_hash_grid.)
+
+    Usage::
+
+        reg = PairwiseRegistrar(max_corr_dist=0.5)
+        for k in range(1, len(scans)):
+            res = reg.register(scans[k], scans[k-1], x0=prev)
+    """
+
+    def __init__(
+        self, *, config=None, loss=None, max_corr_dist=None, nn_backend="auto"
+    ):
+        if config is None:
+            config = LMConfig(
+                diff_mode="auto", max_iterations=30, linear_solver="cholesky"
+            )
+        self.config = config
+        self.loss = loss
+        self.max_corr_dist = max_corr_dist
+        self.nn_backend = nn_backend
+        self._coarse = None  # lazily-built ungated registrar (first-pair seed)
+
+        def solve_grid(src, tgt_cloud, grid, x0):
+            searcher = lambda warped: grid_nearest_neighbors(warped, grid)  # noqa: E731
+            blk = _icp_block_with_searcher(
+                src, tgt_cloud, searcher, loss=loss, max_corr_dist=max_corr_dist
+            )
+            return levenberg_marquardt(problem(blk), x0, config)
+
+        def solve_brute(src, tgt_cloud, x0):
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            searcher = lambda warped: nearest_neighbors(  # noqa: E731
+                warped, tgt_cloud, backend=backend
+            )
+            blk = _icp_block_with_searcher(
+                src, tgt_cloud, searcher, loss=loss, max_corr_dist=max_corr_dist
+            )
+            return levenberg_marquardt(problem(blk), x0, config)
+
+        self._solve_grid = jax.jit(solve_grid)
+        self._solve_brute = jax.jit(solve_brute)
+
+    def _use_grid(self, m):
+        if self.nn_backend == "grid":
+            return True
+        if self.nn_backend == "auto":
+            return m >= GRID_AUTO_MIN_TARGETS and self.max_corr_dist is not None
+        return False
+
+    def register(self, src, tgt_cloud, x0=None):
+        """Align src onto tgt_cloud; returns the LMResult.
+
+        x0=None seeds with the median-centroid offset and, when a
+        correspondence gate is set, runs a coarse ungated pass first (the
+        register_pair contract — a gate tighter than the initial
+        misalignment would reject every correspondence)."""
+        src = jnp.asarray(src)
+        tgt_cloud = jnp.asarray(tgt_cloud)
+        if x0 is None:
+            x0 = jnp.zeros(6, dtype=src.dtype)
+            t0 = jnp.median(tgt_cloud.astype(src.dtype), axis=0) - jnp.median(
+                src, axis=0
+            )
+            x0 = x0.at[0:3].set(t0)
+            if self.max_corr_dist is not None:
+                if self._coarse is None:
+                    self._coarse = PairwiseRegistrar(
+                        config=self.config, loss=self.loss,
+                        max_corr_dist=None, nn_backend=self.nn_backend,
+                    )
+                x0 = self._coarse.register(src, tgt_cloud, x0).x
+        if self._use_grid(tgt_cloud.shape[0]):
+            from moptimizer_0_tpu.ops.grid_nn import (
+                build_hash_grid,
+                build_hash_grid_device,
+                estimate_spacing,
+            )
+
+            if self.max_corr_dist is not None:
+                cell = float(self.max_corr_dist)
+            else:
+                cell = 5.0 * estimate_spacing(tgt_cloud)
+            build = (
+                build_hash_grid_device
+                if tgt_cloud.shape[0] >= 100_000
+                else build_hash_grid
+            )
+            grid = build(tgt_cloud, cell)
+            return self._solve_grid(src, tgt_cloud, grid, x0)
+        return self._solve_brute(src, tgt_cloud, x0)
 
 
 def icp(

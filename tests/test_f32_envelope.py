@@ -13,7 +13,7 @@ holds with ≥4× margin:
 |---|---|
 | curve fit → (0.291861, 0.131439) (curve_fitting.cpp ±5e-5)  | ±5e-5 HOLDS  |
 | Powell → 0 (powell.cpp ±5e-5)                               | ±1e-2 (grad² conditioning: J ~ x² near 0 puts the f32 gradient floor at √ε₃₂ scale) |
-| camera calibration vs Ceres soln (camera_calib. ±5e-5)      | ±2e-3 (px-scale residuals ~1e2 leave ~1e-5 relative noise in H) |
+| camera calibration vs Ceres soln (camera_calib. ±5e-5)      | ±2e-3 CPU-f32 proxy; the chip itself achieves 4.9e-5 (HIGHEST-precision matmuls land better than CPU f32 — docs/PERF.md) |
 | simple rational → (0.362, 0.556) (simple_model.cpp ±0.01)   | ±0.01 HOLDS  |
 | point2point ICP x → ground truth (point2point.cpp, smoke)   | ±2e-3       |
 | accelerometer attitude residual → 0                          | cost ~4e-8, needs λ₀ ≥ 1e-6 (rank-deficient H at the reference's 1e-9 seed is f32-singular) |
