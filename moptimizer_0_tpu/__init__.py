@@ -38,6 +38,7 @@ from moptimizer_0_tpu.core.solver import (
     levenberg_marquardt,
     levenberg_marquardt_batched,
     lm_step,
+    solve_multistart,
 )
 from moptimizer_0_tpu.core import manifold
 from moptimizer_0_tpu import lie

@@ -374,6 +374,30 @@ def levenberg_marquardt_batched(
     return jax.vmap(solve_one, in_axes=in_axes)(datas, x0_batch)
 
 
+def solve_multistart(
+    problem, x0_batch, config=LMConfig(), manifold=None, batch_data=False
+):
+    """Best-of-B multistart: B starts solved batched, lowest-cost healthy
+    instance returned as a single LMResult (plus the full batch).
+
+    Nonconvex residuals (rational fits, registration from poor priors) have
+    basins; the classic remedy is restarts, which on TPU cost barely more
+    than one solve when vmapped (levenberg_marquardt_batched). Instances
+    with Status.NUMERIC_ERROR are excluded; if every start failed, the
+    lowest-cost one is returned (caller checks `.status`).
+
+    Returns (best: LMResult, all: LMResult-with-leading-B-axis).
+    """
+    res = levenberg_marquardt_batched(
+        problem, x0_batch, config, manifold, batch_data=batch_data
+    )
+    bad = res.status == int(Status.NUMERIC_ERROR)
+    cost = jnp.where(bad, jnp.inf, res.cost)
+    i = jnp.argmin(jnp.where(jnp.all(bad), res.cost, cost))
+    best = jax.tree_util.tree_map(lambda leaf: leaf[i], res)
+    return best, res
+
+
 @partial(jax.jit, static_argnames=("config", "manifold"))
 def lm_step(problem, x, lam, config=LMConfig(), manifold=None):
     """One outer LM iteration: (problem', x', λ', terminal, status, record).

@@ -49,8 +49,10 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=Non
     if config is None:
         config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
     if registrar is not None:
-        if method != "icp":
-            raise ValueError("registrar reuse is only supported for method='icp'")
+        if registrar.method != method:
+            raise ValueError(
+                f"registrar was built for method={registrar.method!r}, got {method!r}"
+            )
         res = registrar.register(src, tgt, x0=x0)
         return res.x, res
     solver = gicp if method == "gicp" else icp
@@ -63,13 +65,13 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=Non
 
 def make_registrar(method, config, **kwargs):
     """PairwiseRegistrar for scan streams, or None when not applicable."""
-    if method != "icp":
+    if method not in ("icp", "gicp"):
         return None
     from moptimizer_0_tpu.registration import PairwiseRegistrar
 
     if config is None:
         config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
-    return PairwiseRegistrar(config=config, **kwargs)
+    return PairwiseRegistrar(config=config, method=method, **kwargs)
 
 
 def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, registrar=None, **kwargs):

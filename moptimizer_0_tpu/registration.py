@@ -180,33 +180,68 @@ class PairwiseRegistrar:
     """
 
     def __init__(
-        self, *, config=None, loss=None, max_corr_dist=None, nn_backend="auto"
+        self, *, config=None, loss=None, max_corr_dist=None, nn_backend="auto",
+        method="icp", k=10, epsilon=1e-3,
     ):
         if config is None:
             config = LMConfig(
                 diff_mode="auto", max_iterations=30, linear_solver="cholesky"
             )
+        if method not in ("icp", "gicp"):
+            raise ValueError(f"unknown method {method!r}")
         self.config = config
         self.loss = loss
         self.max_corr_dist = max_corr_dist
         self.nn_backend = nn_backend
+        self.method = method
+        self.k = k
+        self.epsilon = epsilon
         self._coarse = None  # lazily-built ungated registrar (first-pair seed)
 
-        def solve_grid(src, tgt_cloud, grid, x0):
-            searcher = lambda warped: grid_nearest_neighbors(warped, grid)  # noqa: E731
-            blk = _icp_block_with_searcher(
-                src, tgt_cloud, searcher, loss=loss, max_corr_dist=max_corr_dist
+        def make_block_fn(src, tgt_cloud, searcher, covs):
+            if method == "icp":
+                return _icp_block_with_searcher(
+                    src, tgt_cloud, searcher, loss=loss, max_corr_dist=max_corr_dist
+                )
+            from moptimizer_0_tpu.models.gicp import gicp_block
+
+            src_cov, tgt_cov = covs
+            n = src.shape[0]
+
+            def update_fn(x, data):
+                T = se3.transform_from_params6(x)
+                warped = data["src"] @ T[:3, :3].T + T[:3, 3]
+                idx, d2 = searcher(warped)
+                matched = tgt_cloud[idx]
+                matched_cov = tgt_cov[idx]
+                if max_corr_dist is not None:
+                    valid = d2 < jnp.asarray(max_corr_dist, d2.dtype) ** 2
+                else:
+                    valid = jnp.isfinite(d2)
+                return dict(data, matched=matched, matched_cov=matched_cov, valid=valid)
+
+            big = tgt_cloud.shape[0] >= n
+            return gicp_block(
+                src,
+                tgt_cloud[:n] if big else src,
+                src_cov,
+                tgt_cov[:n] if big else src_cov,
+                loss=loss,
+                update_fn=update_fn,
+                valid=jnp.ones((n,), bool),
             )
+
+        def solve_grid(src, tgt_cloud, grid, x0, covs):
+            searcher = lambda warped: grid_nearest_neighbors(warped, grid)  # noqa: E731
+            blk = make_block_fn(src, tgt_cloud, searcher, covs)
             return levenberg_marquardt(problem(blk), x0, config)
 
-        def solve_brute(src, tgt_cloud, x0):
+        def solve_brute(src, tgt_cloud, x0, covs):
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             searcher = lambda warped: nearest_neighbors(  # noqa: E731
                 warped, tgt_cloud, backend=backend
             )
-            blk = _icp_block_with_searcher(
-                src, tgt_cloud, searcher, loss=loss, max_corr_dist=max_corr_dist
-            )
+            blk = make_block_fn(src, tgt_cloud, searcher, covs)
             return levenberg_marquardt(problem(blk), x0, config)
 
         self._solve_grid = jax.jit(solve_grid)
@@ -239,8 +274,19 @@ class PairwiseRegistrar:
                     self._coarse = PairwiseRegistrar(
                         config=self.config, loss=self.loss,
                         max_corr_dist=None, nn_backend=self.nn_backend,
+                        method=self.method, k=self.k, epsilon=self.epsilon,
                     )
                 x0 = self._coarse.register(src, tgt_cloud, x0).x
+        covs = None
+        if self.method == "gicp":
+            from moptimizer_0_tpu.ops.surface import gicp_covariances
+
+            covs = (
+                gicp_covariances(src, k=self.k, epsilon=self.epsilon).astype(src.dtype),
+                gicp_covariances(
+                    tgt_cloud, k=self.k, epsilon=self.epsilon
+                ).astype(src.dtype),
+            )
         if self._use_grid(tgt_cloud.shape[0]):
             from moptimizer_0_tpu.ops.grid_nn import (
                 build_hash_grid,
@@ -258,8 +304,8 @@ class PairwiseRegistrar:
                 else build_hash_grid
             )
             grid = build(tgt_cloud, cell)
-            return self._solve_grid(src, tgt_cloud, grid, x0)
-        return self._solve_brute(src, tgt_cloud, x0)
+            return self._solve_grid(src, tgt_cloud, grid, x0, covs)
+        return self._solve_brute(src, tgt_cloud, x0, covs)
 
 
 def icp(

@@ -86,6 +86,29 @@ def test_batched_none_data_block_replicates():
     np.testing.assert_allclose(np.asarray(res_b.x), 0.0, atol=2e-4)
 
 
+def test_multistart_picks_best_basin():
+    """Rational fit: some starts find the (0.362, 0.556) basin, some find a
+    worse stationary point or blow up; multistart returns the global one."""
+    from moptimizer_0_tpu import solve_multistart
+    from moptimizer_0_tpu.models.rational import SIMPLE_X, SIMPLE_Y, rational_block
+
+    blk = rational_block(SIMPLE_X, SIMPLE_Y, analytic=True, dtype=jnp.float64)
+    x0s = jnp.asarray(
+        [[0.9, 0.2], [1.9, 1.5], [50.0, -40.0], [-3.0, 0.01]], jnp.float64
+    )
+    best, allres = solve_multistart(
+        problem(blk), x0s, LMConfig(max_iterations=40)
+    )
+    assert allres.x.shape == (4, 2)
+    assert int(best.status) != int(Status.NUMERIC_ERROR)
+    np.testing.assert_allclose(np.asarray(best.x), [0.362, 0.556], atol=0.01)
+    # best really is the min healthy cost
+    costs = np.asarray(allres.cost)
+    statuses = np.asarray(allres.status)
+    healthy = costs[statuses != int(Status.NUMERIC_ERROR)]
+    np.testing.assert_allclose(float(best.cost), healthy.min(), rtol=1e-12)
+
+
 def test_batched_icp_point2point():
     """B=3 known-correspondence scan alignments in one program (the
     bench.py workload, batched): each recovers its own transform."""

@@ -259,6 +259,32 @@ def test_pairwise_registrar_compiles_once():
     )
 
 
+def test_pairwise_registrar_gicp():
+    """GICP through the registrar: compile-once across same-shape pairs,
+    matches the one-shot gicp() result."""
+    from moptimizer_0_tpu.lie import se3
+    from moptimizer_0_tpu.registration import PairwiseRegistrar, gicp
+
+    rng = np.random.default_rng(14)
+    # surface-like cloud so the GICP covariances are anisotropic
+    xy = rng.uniform(0, 8, (2500, 2))
+    z = 0.2 * np.sin(xy[:, 0]) + 0.01 * rng.normal(size=2500)
+    src_np = np.column_stack([xy, z]).astype(np.float32)
+    reg = PairwiseRegistrar(method="gicp", max_corr_dist=1.0)
+    x_true = jnp.asarray([0.05, -0.03, 0.02, 0.01, -0.02, 0.03], jnp.float32)
+    T = se3.transform_from_params6(x_true)
+    for seed in range(2):
+        src = jnp.asarray(src_np + 0.001 * np.random.default_rng(seed).normal(size=src_np.shape).astype(np.float32))
+        tgt = src @ T[:3, :3].T + T[:3, 3]
+        res = reg.register(src, tgt, x0=jnp.zeros(6, jnp.float32))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true), atol=2e-3)
+    assert reg._solve_brute._cache_size() == 1
+
+    res_one = gicp(src, tgt, jnp.zeros(6, jnp.float32), max_corr_dist=1.0,
+                   config=reg.config)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_one.x), atol=1e-5)
+
+
 def test_build_validates():
     with pytest.raises(ValueError):
         build_hash_grid(np.zeros((5, 2)), 1.0)
