@@ -364,6 +364,16 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     materializes only a (chunk, C, 6, 3) camera-incidence tensor at a time;
     each chunk contributes one (6C, 3·chunk)·(3·chunk, 6C) matmul.
 
+    **Permuted camera-space ordering**: S's flat index is i·C + c
+    (component-major), NOT the conventional c·6 + i. This makes C the
+    LANE dimension of the one-hot incidence contraction — with the
+    conventional ordering that einsum's n is 18 (14% of a lane tile) and
+    it ran at 182 GFLOP/s, 50 of the stage's 69 ms; permuted it is 2.9 ms
+    and the whole S build drops 69 → ~20 ms (micro A/B r3, docs/PERF.md).
+    `_solve_delta_dense` permutes the rhs in and the solution out (two
+    (C,6) transposes — trivial); the Cholesky solves P·S·Pᵀ, which is SPD
+    iff S is.
+
     axis_name: under shard_map each device scans its landmark shard and the
     partial correction sums psum over ICI — S lands replicated, so the
     (6C)² Cholesky can run identically on every device (the "replicated
@@ -404,8 +414,9 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
         Gk, ck, mk = args
         oh = (ck[..., None] == jnp.arange(C, dtype=ck.dtype)).astype(dtype)
         oh = oh * mk[..., None]  # (chunk,K,C)
-        Ac = jnp.einsum("qkc,qkim->qcim", oh, Gk)  # (chunk,C,6,3)
-        A2 = Ac.transpose(0, 3, 1, 2).reshape(chunk * 3, C * 6)
+        # permuted panel: columns indexed (i, c) with c minor/lanes — see
+        # the ordering note in the docstring
+        A2 = jnp.einsum("qkim,qkc->qmic", Gk, oh).reshape(chunk * 3, 6 * C)
         return S + A2.T @ A2, None
 
     S0 = jnp.zeros((C * 6, C * 6), dtype)
@@ -417,19 +428,21 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
         S_corr = jax.lax.psum(S_corr, axis_name)
 
     S = -S_corr
-    # Add U' on the 6×6 diagonal blocks via a flat 2-D scatter-add.
-    # NOT via S.reshape(C,6,C,6).at[idx,:,idx,:].add(U_d): XLA lays the
-    # 4-D view out with the 6s as minor dims and pads each (6,6) tile to
-    # (8,128) — a 21-28× HBM inflation that OOMs at C = 2000 (measured:
-    # 15 GB for the 550 MB S; benchmarks/ba_engines_ab.py ceiling run).
-    c6 = 6 * jnp.arange(C, dtype=jnp.int32)
-    i6 = jnp.arange(6, dtype=jnp.int32)
-    rows = (c6[:, None, None] + i6[None, :, None] + jnp.zeros((1, 1, 6), jnp.int32)).reshape(-1)
-    cols = (c6[:, None, None] + jnp.zeros((1, 6, 1), jnp.int32) + i6[None, None, :]).reshape(-1)
+    # Add U' on the camera diagonal blocks via a flat 2-D scatter-add.
+    # NOT via a 4-D block view: XLA lays (…,6,6)-minor views out with the
+    # 6s as tile dims and pads each to (8,128) — a 21-28× HBM inflation
+    # that OOMs at C = 2000 (measured: 15 GB for the 550 MB S;
+    # benchmarks/ba_engines_ab.py ceiling run). Permuted ordering: entry
+    # (c, i, j) of U' lands at row i·C+c, col j·C+c.
+    cidx = jnp.arange(C, dtype=jnp.int32)
+    i6 = C * jnp.arange(6, dtype=jnp.int32)
+    rows = (cidx[:, None, None] + i6[None, :, None] + jnp.zeros((1, 1, 6), jnp.int32)).reshape(-1)
+    cols = (cidx[:, None, None] + jnp.zeros((1, 6, 1), jnp.int32) + i6[None, None, :]).reshape(-1)
     S = S.at[rows, cols].add(U_d.reshape(-1))
 
-    # gauge fixing: identity rows/cols for fixed cameras
-    free = jnp.repeat(fixed_mask, 6)  # (6C,) 1.0 = free
+    # gauge fixing: identity rows/cols for fixed cameras (permuted:
+    # flat index i·C+c belongs to camera c → tile, not repeat)
+    free = jnp.tile(fixed_mask, 6)  # (6C,) 1.0 = free
     S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     return S
 
@@ -461,9 +474,12 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
     if axis_name is not None:
         red = jax.lax.psum(red, axis_name)
     rhs = -(g - red)
-    rhs = (rhs * fixed_mask[:, None]).reshape(-1)
+    # permute into _build_schur's component-major flat ordering (i·C+c),
+    # and permute the solution back — two (C,6) transposes, trivial next
+    # to the (6C)² solve
+    rhs = (rhs * fixed_mask[:, None]).T.reshape(-1)
 
-    d_cam = block_cholesky.spd_solve(S, rhs, method=schur_solver).reshape(C, 6)
+    d_cam = block_cholesky.spd_solve(S, rhs, method=schur_solver).reshape(6, C).T
     d_cam = d_cam * fixed_mask[:, None]
 
     # back-substitute: δl = V'⁻¹ (−h − Σ_k W_lkᵀ δc[cam(l,k)])
