@@ -30,9 +30,28 @@ from moptimizer_0_tpu.lie import se3, so3
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class PGOPrior:
+    """Gaussian prior factor over a subset of the flat 6N state.
+
+    r = sqrt_info · (x_flat[idx] − x_ref) + offset — the carrier of
+    marginalized information in fixed-lag smoothing (marginalize_oldest)
+    and, with n_fixed = 0, of the gauge. Same square-root convention as
+    core/prior.py."""
+
+    x_ref: jax.Array  # (P',)
+    sqrt_info: jax.Array  # (P', P')
+    offset: jax.Array  # (P',)
+    idx: jax.Array  # (P',) int32 indices into the flat 6N state
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class PoseGraph:
     """poses: (N, 6) params6 states; edges i→j with measurement z_ij ∈ R⁶
-    (params6 of the expected T_i⁻¹ T_j) and information (E, 6, 6)."""
+    (params6 of the expected T_i⁻¹ T_j) and information (E, 6, 6).
+
+    prior: optional PGOPrior (fixed-lag smoothing / soft gauge). Supported
+    by the dense solver; the robust loss never applies to it."""
 
     poses: jax.Array
     edge_i: jax.Array
@@ -40,6 +59,7 @@ class PoseGraph:
     measurements: jax.Array
     information: jax.Array
     loss: Any = None  # robust kernel on edges; weights H,b only
+    prior: Any = None  # optional PGOPrior
     n_fixed: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
@@ -85,10 +105,20 @@ def residuals_all(graph):
     return jax.vmap(_edge_residual)(xi, xj, graph.measurements)
 
 
+def _prior_residual(prior, poses):
+    x = poses.reshape(-1)[prior.idx]
+    return prior.sqrt_info @ (x - prior.x_ref) + prior.offset
+
+
 def compute_cost(graph):
-    """Σ r_eᵀ Ω_e r_e (information-weighted; Ω = I reduces to Σ‖r‖²)."""
+    """Σ r_eᵀ Ω_e r_e (information-weighted; Ω = I reduces to Σ‖r‖²),
+    plus ‖r_prior‖² when a PGOPrior is attached."""
     r = residuals_all(graph)
-    return jnp.sum(jnp.einsum("ei,eij,ej->e", r, graph.information, r))
+    cost = jnp.sum(jnp.einsum("ei,eij,ej->e", r, graph.information, r))
+    if graph.prior is not None:
+        rp = _prior_residual(graph.prior, graph.poses)
+        cost = cost + jnp.sum(rp * rp)
+    return cost
 
 
 def _linearize(graph):
@@ -134,7 +164,15 @@ def _assemble(graph, r, Ji, Jj):
     b = jnp.zeros((N, 6), dtype)
     b = b.at[graph.edge_i].add(b_i)
     b = b.at[graph.edge_j].add(b_j)
-    return H, b.reshape(-1)
+    b = b.reshape(-1)
+
+    if graph.prior is not None:
+        p = graph.prior
+        Lam = p.sqrt_info.T @ p.sqrt_info
+        H = H.at[jnp.ix_(p.idx, p.idx)].add(Lam)
+        rp = _prior_residual(p, graph.poses)
+        b = b.at[p.idx].add(p.sqrt_info.T @ rp)
+    return H, b
 
 
 def _edge_blocks(graph, r, Ji, Jj):
@@ -218,8 +256,112 @@ def _pgo_cg_solve(graph, r, Ji, Jj, lam, free_nodes, config):
     return x, b.reshape(-1)
 
 
+def marginalize_oldest(graph, n_drop=1, *, fix_weight=1e8, reg=1e-9):
+    """Fixed-lag marginalization: drop the oldest n_drop poses.
+
+    The factors ADJACENT to the dropped poses (their edges, any existing
+    prior, and the gauge fixation of dropped fixed poses — carried as a
+    fix_weight·I absolute prior so the information stays finite) are
+    linearized at the current poses and Schur-complemented onto the kept
+    poses they touch (core/prior machinery, square-root form: the
+    sliding-window BA recipe of arXiv:2109.02182 re-done in this engine's
+    Gauss-Newton terms). Edges between kept poses stay NONLINEAR in the
+    returned graph; only the absorbed information becomes quadratic.
+
+    Host-side (concrete edge indices partition the factor set) — call
+    between solves, not inside jit. Returns the reduced PoseGraph with
+    poses[n_drop:], re-indexed kept edges, prior attached, and n_fixed=0
+    (the gauge now lives in the prior).
+    """
+    import numpy as np
+
+    from moptimizer_0_tpu.core.prior import marginalize as _marg
+
+    dtype = graph.poses.dtype
+    N = graph.poses.shape[0]
+    ei = np.asarray(graph.edge_i)
+    ej = np.asarray(graph.edge_j)
+    absorbed = (ei < n_drop) | (ej < n_drop)
+    if not absorbed.any() and graph.prior is None and graph.n_fixed <= 0:
+        raise ValueError("nothing connects the dropped poses; just slice them off")
+
+    sub = dataclasses.replace(
+        graph,
+        edge_i=jnp.asarray(ei[absorbed]),
+        edge_j=jnp.asarray(ej[absorbed]),
+        measurements=graph.measurements[jnp.asarray(np.where(absorbed)[0])],
+        information=graph.information[jnp.asarray(np.where(absorbed)[0])],
+        loss=None,  # the prior is a Gaussian; robust weights stay with live edges
+    )
+    r, Ji, Jj = _linearize(sub)
+    H_A, b_A = _assemble(sub, r, Ji, Jj)  # includes graph.prior if present
+
+    # gauge carried by dropped fixed poses → finite absolute prior on them
+    n_fixed_dropped = min(graph.n_fixed, n_drop)
+    if n_fixed_dropped > 0:
+        scale = fix_weight * float(jnp.max(jnp.abs(jnp.diagonal(H_A))) + 1.0)
+        fixed_flat = np.arange(6 * n_fixed_dropped)
+        H_A = H_A.at[fixed_flat, fixed_flat].add(scale)
+
+    # support: kept poses touching absorbed factors (+ existing prior support)
+    touched = set()
+    for a, b_ in zip(ei[absorbed], ej[absorbed]):
+        for p in (int(a), int(b_)):
+            if p >= n_drop:
+                touched.add(p)
+    if graph.prior is not None:
+        for flat in np.asarray(graph.prior.idx):
+            p = int(flat) // 6
+            if p >= n_drop:
+                touched.add(p)
+    if graph.n_fixed > n_drop:
+        touched.update(range(n_drop, graph.n_fixed))
+    support = sorted(touched)
+    if not support:
+        raise ValueError("dropped poses touch no kept pose — the graph is disconnected")
+
+    # marginalize over the (dropped ∪ support) submatrix only: kept poses
+    # outside the support have zero rows in H_A, which would make the
+    # marginal square root singular
+    drop_flat = np.arange(6 * n_drop)
+    supp_flat = np.concatenate([np.arange(6 * p, 6 * p + 6) for p in support])
+    sub_idx = np.concatenate([drop_flat, supp_flat])
+    H_sub = H_A[jnp.ix_(jnp.asarray(sub_idx), jnp.asarray(sub_idx))]
+    H_sub = H_sub + reg * jnp.eye(len(sub_idx), dtype=dtype)
+    b_sub = b_A[jnp.asarray(sub_idx)]
+    x_sub = graph.poses.reshape(-1)[jnp.asarray(sub_idx)]
+    keep_local = jnp.arange(len(drop_flat), len(sub_idx))
+    x_ref, S, off = _marg(H_sub, b_sub, x_sub, keep_local)
+
+    # remaining (kept-kept) edges, re-indexed into the reduced graph
+    live = ~absorbed
+    live_idx = jnp.asarray(np.where(live)[0])
+    new_prior = PGOPrior(
+        x_ref=x_ref,
+        sqrt_info=S,
+        offset=off,
+        idx=jnp.asarray(supp_flat - 6 * n_drop, jnp.int32),
+    )
+    return dataclasses.replace(
+        graph,
+        poses=graph.poses[n_drop:],
+        edge_i=jnp.asarray(ei[live] - n_drop),
+        edge_j=jnp.asarray(ej[live] - n_drop),
+        measurements=graph.measurements[live_idx],
+        information=graph.information[live_idx],
+        prior=new_prior,
+        n_fixed=max(graph.n_fixed - n_drop, 0),
+    )
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_pgo(graph, config=PGOConfig()):
+    if graph.prior is not None and config.solver == "cg":
+        raise ValueError(
+            "PGOPrior is supported by the dense solver; use "
+            "PGOConfig(solver='dense') (the prior's SᵀS block is dense "
+            "across its support, which breaks the edge-block matvec)"
+        )
     dtype = graph.poses.dtype
     eps = jnp.finfo(dtype).eps
     N = graph.poses.shape[0]
