@@ -1,9 +1,10 @@
 """Stage-by-stage timing of the dense-Schur BA outer iteration on TPU.
 
-The engine measures ~0.49 s/outer-iter at O=500k, C=200, L=50k while its
-dominant matmul (the S build, 3×·2·3L·(6C)² FLOPs) prices at ~40 ms on the
-f32 MXU roofline — this script finds where the other ~450 ms goes by
-jitting each stage separately (same shapes as bench.py's BA leg).
+Jits each stage separately at bench.py's BA shapes (O=500k, C=200, L=50k).
+Historical driver of the r2/r3 optimizations; the current per-stage truth
+(S build 25 ms after the permuted-panel fix, outer iteration 37-42 ms) is
+recorded in docs/PERF.md — absolute numbers here carry per-dispatch tunnel
+latency, so prefer the slope-measured figures there.
 Run: python -m benchmarks.ba_dense_stages
 """
 

@@ -14,6 +14,8 @@ p_i ≈ T_ij · p_j, i.e. exactly the pose-graph measurement z_ij for the edge
 i → j (pose_graph._edge_residual).
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -160,3 +162,68 @@ def scan_slam(
         pgo_config = pgo.PGOConfig(max_iterations=30)
     result = pgo.solve_pgo(graph, pgo_config)
     return result, poses_odo
+
+
+def scan_slam_fixed_lag(
+    scans,
+    *,
+    window=8,
+    method="icp",
+    config=None,
+    pgo_config=None,
+    information_scale=1.0,
+    **kwargs,
+):
+    """Streaming fixed-lag SLAM: bounded state, information preserved.
+
+    Per scan: register against the previous scan (compile-once
+    PairwiseRegistrar), append the odometry edge to a sliding pose window,
+    refine the window with PGO, and once the window exceeds `window` poses
+    marginalize the oldest one out (pose_graph.marginalize_oldest) — its
+    pose is FINALIZED and its information Schur-complements into a prior
+    on the surviving poses instead of being thrown away. Memory and
+    per-scan solve cost are O(window), independent of trajectory length —
+    the streaming counterpart of batch scan_slam (which keeps every pose).
+
+    Returns (poses (K, 6) — finalized + current window, in order).
+    """
+    registrar = make_registrar(method, config, **kwargs)
+    if pgo_config is None:
+        pgo_config = pgo.PGOConfig(max_iterations=15)
+    dtype = jnp.asarray(scans[0]).dtype
+
+    finalized = []  # poses marginalized out (world frame)
+    graph = pgo.PoseGraph(
+        poses=jnp.zeros((1, 6), dtype),
+        edge_i=jnp.zeros((0,), jnp.int32),
+        edge_j=jnp.zeros((0,), jnp.int32),
+        measurements=jnp.zeros((0, 6), dtype),
+        information=jnp.zeros((0, 6, 6), dtype),
+        n_fixed=1,
+    )
+    prev_rel = None
+    for k in range(1, len(scans)):
+        rel, _ = register_pair(
+            scans[k], scans[k - 1], x0=prev_rel, method=method, config=config,
+            registrar=registrar, **({} if registrar else kwargs)
+        )
+        prev_rel = rel
+        new_pose = _compose(graph.poses[-1], rel)
+        W = graph.poses.shape[0]
+        graph = dataclasses.replace(
+            graph,
+            poses=jnp.concatenate([graph.poses, new_pose[None]]),
+            edge_i=jnp.concatenate([graph.edge_i, jnp.asarray([W - 1], jnp.int32)]),
+            edge_j=jnp.concatenate([graph.edge_j, jnp.asarray([W], jnp.int32)]),
+            measurements=jnp.concatenate([graph.measurements, rel[None]]),
+            information=jnp.concatenate(
+                [graph.information,
+                 (information_scale * jnp.eye(6, dtype=dtype))[None]]
+            ),
+        )
+        res = pgo.solve_pgo(graph, pgo_config)
+        graph = dataclasses.replace(graph, poses=res.poses)
+        if graph.poses.shape[0] > window:
+            finalized.append(graph.poses[0])
+            graph = pgo.marginalize_oldest(graph, 1)
+    return jnp.stack(finalized + list(graph.poses))

@@ -124,6 +124,30 @@ def test_sequential_marginalization():
     )
 
 
+def test_fixed_lag_slam_tracks_batch_odometry():
+    """scan_slam_fixed_lag on the standing 24-scan world: bounded-window
+    streaming stays within the batch odometry's ATE bound (the loop has no
+    closures here, so fixed-lag ≈ odometry with windowed refinement)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_slam_sequence import ATE_ODOMETRY_BOUND, make_sequence
+
+    from moptimizer_0_tpu.core.solver import LMConfig
+    from moptimizer_0_tpu.evaluation import ate_rmse
+    from moptimizer_0_tpu.odometry import scan_slam_fixed_lag
+
+    scans, gt = make_sequence()
+    cfg = LMConfig(diff_mode="auto", max_iterations=40)
+    poses = scan_slam_fixed_lag(
+        scans, window=6, config=cfg, nn_backend="grid", max_corr_dist=0.5
+    )
+    assert poses.shape == (len(scans), 6)
+    ate = float(ate_rmse(poses, gt, align=False))
+    assert ate < ATE_ODOMETRY_BOUND
+
+
 def test_prior_rejected_by_cg_solver():
     graph = _chain_graph()
     red = pgo.marginalize_oldest(graph, 1)
