@@ -2,7 +2,7 @@
 
 Each component runs K1/K2 times inside one jitted fori_loop with a value
 perturbation + host-read sync; the two-point slope is the per-call device
-time (benchmarks/seg_* methodology).
+time (benchmarks/segment_ops_ab.py methodology).
 """
 
 import time

@@ -1,6 +1,6 @@
 """Dense-Schur bundle adjustment — the explicit-Schur engine, built for MXU.
 
-Why a second engine (measured on TPU v5e, benchmarks/seg_*.py): row-granular
+Why a second engine (measured on TPU v5e, benchmarks/segment_ops_ab.py): row-granular
 gathers and scatters (`jax.ops.segment_sum`, fancy indexing) run ~30× off
 HBM speed-of-light on TPU — the hardware moves one descriptor per row — and
 the matrix-free Schur-CG engine (ba.py) pays that cost 2 gathers + 2
