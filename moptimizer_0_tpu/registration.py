@@ -347,6 +347,50 @@ def icp(
     return levenberg_marquardt(problem(blk), x0, config)
 
 
+def icp_batched(
+    srcs,
+    tgt_clouds,
+    x0s=None,
+    *,
+    config=None,
+    loss=None,
+    max_corr_dist=None,
+):
+    """B full ICP solves (per-iteration NN correspondence update included)
+    vmapped into ONE device program — fleet registration.
+
+    srcs (B, N, 3), tgt_clouds (B, M, 3), x0s (B, 6) or None (per-lane
+    median-centroid seeding). Uses the XLA brute-force NN per lane (the
+    Pallas kernel and the host-built hash grid do not batch); for B
+    same-shape pairs solved SEQUENTIALLY with grid search use
+    PairwiseRegistrar instead — batching wins when pairs are small and
+    latency-bound, the registrar when each pair is large.
+
+    Returns an LMResult with a leading B axis; per-lane results match
+    individual icp() solves (tests/test_batched_solver.py).
+    """
+    srcs = jnp.asarray(srcs)
+    tgt_clouds = jnp.asarray(tgt_clouds)
+    if config is None:
+        config = LMConfig(diff_mode="auto", max_iterations=30, linear_solver="cholesky")
+    if x0s is None:
+        t0 = jnp.median(tgt_clouds.astype(srcs.dtype), axis=1) - jnp.median(
+            srcs, axis=1
+        )
+        x0s = jnp.concatenate(
+            [t0, jnp.zeros((srcs.shape[0], 3), srcs.dtype)], axis=1
+        )
+
+    def one(src, tgt, x0):
+        searcher = lambda w: nearest_neighbors(w, tgt, backend="xla")  # noqa: E731
+        blk = _icp_block_with_searcher(
+            src, tgt, searcher, loss=loss, max_corr_dist=max_corr_dist
+        )
+        return levenberg_marquardt(problem(blk), x0, config)
+
+    return jax.jit(jax.vmap(one))(srcs, tgt_clouds, x0s)
+
+
 def gicp(
     src,
     tgt_cloud,

@@ -109,6 +109,52 @@ def test_multistart_picks_best_basin():
     np.testing.assert_allclose(float(best.cost), healthy.min(), rtol=1e-12)
 
 
+def test_icp_batched_with_nn_update():
+    """registration.icp_batched: B FULL ICP solves (per-iteration NN
+    correspondence search) in one program, each matching its individual
+    icp() solve."""
+    from moptimizer_0_tpu.lie import se3
+    from moptimizer_0_tpu.registration import icp, icp_batched
+
+    rng = np.random.default_rng(15)
+    B, N = 3, 1500
+    srcs = rng.uniform(0, 10, (B, N, 3))
+    x_true = np.array(
+        [
+            [0.1, -0.05, 0.08, 0.02, -0.01, 0.03],
+            [-0.07, 0.04, 0.02, -0.015, 0.02, 0.01],
+            [0.03, 0.06, -0.04, 0.01, 0.015, -0.02],
+        ]
+    )
+    tgts = np.stack(
+        [
+            np.asarray(
+                srcs[i]
+                @ np.asarray(se3.transform_from_params6(jnp.asarray(x_true[i])))[:3, :3].T
+                + np.asarray(se3.transform_from_params6(jnp.asarray(x_true[i])))[:3, 3]
+            )
+            for i in range(B)
+        ]
+    )
+    res = icp_batched(
+        jnp.asarray(srcs, jnp.float64),
+        jnp.asarray(tgts, jnp.float64),
+        max_corr_dist=1.0,
+    )
+    assert res.x.shape == (B, 6)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-6)
+    for i in range(B):
+        res_i = icp(
+            jnp.asarray(srcs[i], jnp.float64),
+            jnp.asarray(tgts[i], jnp.float64),
+            nn_backend="xla",
+            max_corr_dist=1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(res_i.x), atol=1e-9
+        )
+
+
 def test_batched_icp_point2point():
     """B=3 known-correspondence scan alignments in one program (the
     bench.py workload, batched): each recovers its own transform."""
