@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from moptimizer_0_tpu import ba, ba_dense
-from ba_engines_ab import make_problem
+
+try:
+    from benchmarks.ba_engines_ab import make_problem  # repo root: -m benchmarks.*
+except ImportError:
+    from ba_engines_ab import make_problem  # run from benchmarks/
 
 K1, K2 = 2, 10
 
