@@ -43,4 +43,4 @@ from moptimizer_0_tpu.core.solver import (
 from moptimizer_0_tpu.core import manifold
 from moptimizer_0_tpu import lie
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
