@@ -45,18 +45,32 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=Non
     would otherwise reject every correspondence and stall the solve.
 
     registrar: a registration.PairwiseRegistrar to reuse (compile-once path
-    for scan streams — scan_odometry builds one automatically); only valid
-    for method="icp".
+    for scan streams — scan_odometry builds one automatically); supports the
+    registrar methods ("icp"/"gicp"/"point2plane"). A registrar carries its
+    own config/search settings, so passing extra kwargs or a conflicting
+    config alongside one raises rather than being silently ignored
+    (ADVICE r3).
     """
-    if config is None:
-        config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
     if registrar is not None:
         if registrar.method != method:
             raise ValueError(
                 f"registrar was built for method={registrar.method!r}, got {method!r}"
             )
+        if kwargs:
+            raise ValueError(
+                "registrar=... carries its own search settings; extra kwargs "
+                f"{sorted(kwargs)} would be silently ignored — bake them into "
+                "the PairwiseRegistrar instead"
+            )
+        if config is not None and config != registrar.config:
+            raise ValueError(
+                "registrar=... was built with a different LMConfig than the "
+                "one passed; rebuild the registrar with this config"
+            )
         res = registrar.register(src, tgt, x0=x0)
         return res.x, res
+    if config is None:
+        config = LMConfig(diff_mode="auto", max_iterations=40, linear_solver="cholesky")
     solver = gicp if method == "gicp" else icp
     if x0 is None and kwargs.get("max_corr_dist") is not None:
         coarse = dict(kwargs, max_corr_dist=None)
@@ -90,6 +104,12 @@ def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, registr
     """
     if registrar is None:
         registrar = make_registrar(method, config, **kwargs)
+    elif kwargs:
+        raise ValueError(
+            "registrar=... carries its own search settings; extra kwargs "
+            f"{sorted(kwargs)} would be silently ignored — bake them into "
+            "the PairwiseRegistrar instead"
+        )
     poses = [jnp.zeros(6, dtype=jnp.asarray(scans[0]).dtype)]
     rels = []
     prev_rel = None

@@ -270,8 +270,10 @@ def marginalize_oldest(graph, n_drop=1, *, fix_weight=1e8, reg=1e-9):
 
     Host-side (concrete edge indices partition the factor set) — call
     between solves, not inside jit. Returns the reduced PoseGraph with
-    poses[n_drop:], re-indexed kept edges, prior attached, and n_fixed=0
-    (the gauge now lives in the prior).
+    poses[n_drop:], re-indexed kept edges, prior attached, and
+    n_fixed = max(n_fixed − n_drop, 0) — fixed poses beyond the dropped
+    window stay hard-fixed; the gauge of DROPPED fixed poses moves into
+    the prior.
     """
     import numpy as np
 
@@ -378,7 +380,11 @@ def solve_pgo(graph, config=PGOConfig()):
     def outer_body(c):
         graph_c = dataclasses.replace(graph, poses=c["poses"])
         r, Ji, Jj = _linearize(graph_c)
-        y0 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, graph.information, r))
+        # y0 must be the SAME cost functional as the trial cost yi below
+        # (compute_cost = edges + prior); an edge-only y0 makes ρ and the
+        # convergence test compare unlike costs when a PGOPrior is attached
+        # (ADVICE r3 high: prior-dominant graphs falsely CONVERGED at 0 iters)
+        y0 = compute_cost(graph_c)
 
         if config.solver == "cg":
             # no dense assembly; λ seed needs only the diagonal blocks

@@ -13,6 +13,8 @@ for real, fully inside the jitted LM while_loop:
 * per evaluation (`prepare_fn`): params6 → 4×4 transform.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -347,6 +349,28 @@ def icp(
     return levenberg_marquardt(problem(blk), x0, config)
 
 
+@functools.lru_cache(maxsize=32)
+def _batched_icp_jit(config, max_corr_dist):
+    """Compile-once batched ICP solve, keyed on the static knobs.
+
+    The loss rides through as a pytree ARGUMENT (losses are registered
+    pytree dataclasses), so only genuinely static config forces a new
+    entry — repeated same-shape fleet calls reuse one executable
+    (ADVICE r3: a fresh jax.jit per call retraced every invocation)."""
+
+    def run(srcs, tgt_clouds, x0s, loss):
+        def one(src, tgt, x0):
+            searcher = lambda w: nearest_neighbors(w, tgt, backend="xla")  # noqa: E731
+            blk = _icp_block_with_searcher(
+                src, tgt, searcher, loss=loss, max_corr_dist=max_corr_dist
+            )
+            return levenberg_marquardt(problem(blk), x0, config)
+
+        return jax.vmap(one)(srcs, tgt_clouds, x0s)
+
+    return jax.jit(run)
+
+
 def icp_batched(
     srcs,
     tgt_clouds,
@@ -381,14 +405,8 @@ def icp_batched(
             [t0, jnp.zeros((srcs.shape[0], 3), srcs.dtype)], axis=1
         )
 
-    def one(src, tgt, x0):
-        searcher = lambda w: nearest_neighbors(w, tgt, backend="xla")  # noqa: E731
-        blk = _icp_block_with_searcher(
-            src, tgt, searcher, loss=loss, max_corr_dist=max_corr_dist
-        )
-        return levenberg_marquardt(problem(blk), x0, config)
-
-    return jax.jit(jax.vmap(one))(srcs, tgt_clouds, x0s)
+    mcd = None if max_corr_dist is None else float(max_corr_dist)
+    return _batched_icp_jit(config, mcd)(srcs, tgt_clouds, x0s, loss)
 
 
 def gicp(

@@ -167,3 +167,26 @@ def test_pgo_cg_large_graph():
         graph, pgo.PGOConfig(max_iterations=40, solver="cg", cg_iterations=400)
     )
     assert float(res.cost) < start_cost * 1e-3
+
+
+def test_pgo_prior_dominant_graph_not_falsely_converged():
+    """ADVICE r3 (high): y0 used edge-only cost while the trial cost included
+    the PGOPrior term, so a prior-dominant graph (edges near-satisfied,
+    nonzero prior offset) returned CONVERGED after 0 iterations at the
+    initial point. y0 must be compute_cost (edges + prior)."""
+    graph, gt = make_ring_graph(N=8, drift=0.0, seed=7)
+    # edges exactly satisfied at gt; attach a prior pulling pose 1 elsewhere
+    target = np.asarray(gt[1]) + np.array([0.5, -0.3, 0.2, 0.05, -0.04, 0.03])
+    prior = pgo.PGOPrior(
+        x_ref=jnp.asarray(target),
+        sqrt_info=3.0 * jnp.eye(6),
+        offset=jnp.zeros(6),
+        idx=jnp.arange(6, 12, dtype=jnp.int32),
+    )
+    g = dataclasses.replace(graph, poses=gt, prior=prior)
+    start = float(pgo.compute_cost(g))
+    assert start > 1.0  # prior term dominates; edge term ~ 0
+    res = pgo.solve_pgo(g, pgo.PGOConfig(max_iterations=30, solver="dense"))
+    assert int(res.iterations) > 0
+    # solver must trade edge cost against the prior: true total cost drops
+    assert float(res.cost) < 0.9 * start
