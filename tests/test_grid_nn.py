@@ -327,3 +327,103 @@ def test_icp_grid_matches_bruteforce_trajectory():
     np.testing.assert_allclose(
         np.asarray(res_grid.x), np.asarray(res_bf.x), atol=1e-5
     )
+
+
+# ---- cell-major bucket join (r4) ----------------------------------------
+
+
+def _both_modes(query, grid, **kw):
+    qi, qd = grid_nearest_neighbors(jnp.asarray(query), grid, mode="query", **kw)
+    ci, cd = grid_nearest_neighbors(jnp.asarray(query), grid, mode="auto", **kw)
+    return np.asarray(qi), np.asarray(qd), np.asarray(ci), np.asarray(cd)
+
+
+def test_cell_major_identical_to_query_major_uniform():
+    """Same candidate enumeration order + f32 arithmetic → bitwise-equal
+    results (incl. tie-breaks) on a uniform cloud with out-of-range rows."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-5, 5, size=(20_000, 3)).astype(np.float32)
+    q = rng.uniform(-6, 6, size=(8_192, 3)).astype(np.float32)  # some misses
+    grid = build_hash_grid(pts, 0.4)
+    qi, qd, ci, cd = _both_modes(q, grid)
+    np.testing.assert_array_equal(qi, ci)
+    np.testing.assert_array_equal(qd, cd)
+
+
+def test_cell_major_identical_surface_cloud():
+    """Surface-like (high-occupancy cells) — the regime the bucket join is
+    for; also checks rings=2."""
+    rng = np.random.default_rng(12)
+    xy = rng.uniform(0, 20, size=(30_000, 2))
+    z = np.sin(xy[:, :1]) * np.cos(xy[:, 1:]) + 0.01 * rng.normal(size=(30_000, 1))
+    pts = np.concatenate([xy, z], axis=1).astype(np.float32)
+    q = (pts + 0.05 * rng.normal(size=pts.shape)).astype(np.float32)
+    grid = build_hash_grid(pts, 0.5)
+    qi, qd, ci, cd = _both_modes(q, grid, rings=2)
+    np.testing.assert_array_equal(qi, ci)
+    np.testing.assert_array_equal(qd, cd)
+
+
+def test_cell_major_exact_vs_f64_oracle():
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(-3, 3, size=(15_000, 3)).astype(np.float32)
+    q = (pts[:6000] + 0.03 * rng.normal(size=(6000, 3))).astype(np.float32)
+    grid = build_hash_grid(pts, 0.3)
+    gi, gd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="auto")
+    gi, gd = np.asarray(gi), np.asarray(gd)
+    bi, bd = _bruteforce_f64(q, pts)
+    in_range = bd < 0.3**2 * (1 - 1e-5)
+    mism = in_range & (gi != bi)
+    if mism.any():  # exact ties only
+        d_alt = np.sum((q[mism].astype(np.float64) - pts[gi[mism]]) ** 2, -1)
+        np.testing.assert_allclose(d_alt, bd[mism], rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(gd[in_range], bd[in_range], rtol=1e-4, atol=1e-10)
+
+
+def test_cell_major_fallback_capacity_overflow():
+    """query_capacity smaller than the densest cell → the lax.cond falls
+    back to the query-major path; results stay identical."""
+    rng = np.random.default_rng(14)
+    pts = rng.uniform(0, 4, size=(5_000, 3)).astype(np.float32)
+    # pile 200 queries into one cell to force rank >= Kq
+    q = np.concatenate(
+        [
+            rng.uniform(0, 4, size=(2_000, 3)),
+            np.float32([[1.05, 1.05, 1.05]]) + 0.01 * rng.random((200, 3)),
+        ]
+    ).astype(np.float32)
+    grid = build_hash_grid(pts, 0.5)
+    qi, qd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="query")
+    ci, cd = grid_nearest_neighbors(
+        jnp.asarray(q), grid, mode="auto", query_capacity=8
+    )
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(ci))
+    np.testing.assert_array_equal(np.asarray(qd), np.asarray(cd))
+
+
+def test_cell_major_fallback_extent():
+    """Relative extent beyond 1024 cells/axis → fallback, same results."""
+    rng = np.random.default_rng(15)
+    pts = rng.uniform(0, 2, size=(3_000, 3)).astype(np.float32)
+    q = pts[:500].copy()
+    q[0] = [3000.0, 0.0, 0.0]  # 30,000 cells away at cell=0.1
+    grid = build_hash_grid(pts, 0.1)
+    qi, qd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="query")
+    ci, cd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="auto")
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(ci))
+    np.testing.assert_array_equal(np.asarray(qd), np.asarray(cd))
+
+
+def test_cell_major_duplicates_and_tiny():
+    """Duplicate-heavy cloud (exact ties) and tiny query sets."""
+    rng = np.random.default_rng(16)
+    base = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    pts = np.concatenate([base, base, base])  # every point ×3
+    q = (base[:100] + 0.01 * rng.normal(size=(100, 3))).astype(np.float32)
+    grid = build_hash_grid(pts, 0.2)
+    qi, qd, ci, cd = _both_modes(q, grid)
+    np.testing.assert_array_equal(qi, ci)
+    np.testing.assert_array_equal(qd, cd)
+    # single query exercises the Q < 2 guard
+    i1, d1 = grid_nearest_neighbors(jnp.asarray(q[:1]), grid)
+    assert np.asarray(i1).shape == (1,)

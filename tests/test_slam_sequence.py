@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from moptimizer_0_tpu.core.solver import LMConfig
+from moptimizer_0_tpu.core.solver import LMConfig, Status
 from moptimizer_0_tpu.evaluation import ate_rmse, rpe
 from moptimizer_0_tpu.lie import se3, so3
 from moptimizer_0_tpu.odometry import scan_odometry, scan_slam
@@ -139,3 +139,48 @@ def test_rpe_bounded(sequence_results):
     _, gt, poses_odo, _ = sequence_results
     trans_rpe = float(rpe(poses_odo, gt, delta=1)[0])
     assert trans_rpe < 10 * SENSOR_NOISE
+
+
+def test_slam_with_noise_floor_stopping_matches_ate():
+    """The r4 practical stopping rule (rel_cost_tol, the pipeline default)
+    must hit the same pinned ATE bounds in far fewer LM iterations than the
+    parity-semantics run (VERDICT r3 task 3: 'equal pinned ATE')."""
+    scans, gt = make_sequence()
+    cfg = LMConfig(
+        diff_mode="auto", max_iterations=40, rel_cost_tol=1e-6
+    )
+    result, poses_odo = scan_slam(
+        scans,
+        method="icp",
+        loop_closures=[(0, K_SCANS - 1), (0, K_SCANS - 2)],
+        config=cfg,
+        nn_backend="grid",
+        max_corr_dist=0.5,
+    )
+    ate_odo = float(ate_rmse(poses_odo, gt, align=False))
+    ate_slam = float(ate_rmse(result.poses, gt, align=False))
+    assert ate_odo < ATE_ODOMETRY_BOUND
+    assert ate_slam < ATE_SLAM_BOUND
+
+    # and the stopping rule genuinely cuts the per-pair iteration count
+    from moptimizer_0_tpu.odometry import make_registrar
+
+    reg_fast = make_registrar("icp", cfg, nn_backend="grid", max_corr_dist=0.5)
+    reg_slow = make_registrar(
+        "icp",
+        LMConfig(diff_mode="auto", max_iterations=40),
+        nn_backend="grid",
+        max_corr_dist=0.5,
+    )
+    r_fast = reg_fast.register(scans[1], scans[0])
+    r_slow = reg_slow.register(scans[1], scans[0])
+    # At this scale in f64 the parity criteria DO fire (tiny √ε steps at
+    # full convergence), so the rule can only match or trim iterations
+    # here; the production-scale effect (f32/TPU, 40-iteration burn cut to
+    # ~10 — docs/PERF.md SLAM section) is measured by
+    # benchmarks/slam_sequence_bench.py.
+    assert int(r_fast.iterations) <= int(r_slow.iterations)
+    assert int(r_fast.status) == int(Status.CONVERGED)
+    np.testing.assert_allclose(
+        np.asarray(r_fast.x), np.asarray(r_slow.x), atol=1e-4
+    )
