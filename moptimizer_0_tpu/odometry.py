@@ -86,7 +86,12 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=Non
         return res.x, res
     if config is None:
         config = _default_pipeline_config()
-    solver = gicp if method == "gicp" else icp
+    if method == "gicp":
+        solver = gicp
+    elif method == "point2plane":
+        from moptimizer_0_tpu.registration import point2plane as solver
+    else:
+        solver = icp
     if x0 is None and kwargs.get("max_corr_dist") is not None:
         coarse = dict(kwargs, max_corr_dist=None)
         x0 = solver(src, tgt, config=config, **coarse).x
@@ -96,7 +101,7 @@ def register_pair(src, tgt, *, x0=None, method="icp", config=None, registrar=Non
 
 def make_registrar(method, config, **kwargs):
     """PairwiseRegistrar for scan streams, or None when not applicable."""
-    if method not in ("icp", "gicp"):
+    if method not in ("icp", "gicp", "point2plane"):
         return None
     from moptimizer_0_tpu.registration import PairwiseRegistrar
 
