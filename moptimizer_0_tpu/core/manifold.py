@@ -116,3 +116,58 @@ class Product:
             out.append(p.local(x[xo : xo + p.dim], y[xo : xo + p.dim]))
             xo += p.dim
         return jnp.concatenate(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere:
+    """Unit-norm state s ∈ Sⁿ⁻¹ ⊂ Rⁿ (n = dim, tangent_dim = n−1) — the
+    "Spherical" parameterization the reference's intended ontology lists
+    (docs/Optimizer.puml) but never implements. Quaternions (n = 4) are the
+    canonical use.
+
+    Chart: Householder tangent basis B(x) (the Ceres SphereManifold
+    construction) + the sphere exponential map
+        retract(x, δ) = cos‖δ‖·x + sinc‖δ‖·B(x)δ,
+        local(x, y)   = θ·p/‖p‖,  p = B(x)ᵀy,  θ = atan2(‖p‖, x·y),
+    with differentiable small-angle guards.
+    """
+
+    dim: int
+
+    @property
+    def tangent_dim(self):
+        return self.dim - 1
+
+    def _basis(self, xn):
+        # Householder reflector sending e_{n−1} to ∓xn; its remaining
+        # columns are an orthonormal basis of the tangent space at xn
+        n = self.dim
+        e = jnp.zeros(n, xn.dtype).at[-1].set(1.0)
+        sign = jnp.where(xn[-1] >= 0, 1.0, -1.0).astype(xn.dtype)
+        v = xn + sign * e
+        v = v / jnp.sqrt(jnp.sum(v * v) + jnp.finfo(xn.dtype).tiny)
+        H = jnp.eye(n, dtype=xn.dtype) - 2.0 * jnp.outer(v, v)
+        return H[:, :-1]  # (n, n−1), columns ⊥ xn
+
+    def retract(self, x, delta):
+        eps = jnp.finfo(x.dtype).eps
+        xn = x / jnp.sqrt(jnp.sum(x * x) + eps)
+        B = self._basis(xn)
+        th2 = jnp.sum(delta * delta)
+        th = jnp.sqrt(th2 + eps * eps)
+        small = th2 < jnp.sqrt(eps)
+        sinc = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+        cos = jnp.where(small, 1.0 - th2 / 2.0, jnp.cos(th))
+        return cos * xn + sinc * (B @ delta)
+
+    def local(self, x, y):
+        eps = jnp.finfo(x.dtype).eps
+        xn = x / jnp.sqrt(jnp.sum(x * x) + eps)
+        yn = y / jnp.sqrt(jnp.sum(y * y) + eps)
+        B = self._basis(xn)
+        p = B.T @ yn  # (n−1,)
+        pn2 = jnp.sum(p * p)
+        pn = jnp.sqrt(pn2 + eps * eps)
+        th = jnp.arctan2(pn, jnp.dot(xn, yn))
+        scale = jnp.where(pn2 < jnp.sqrt(eps), 1.0, th / pn)
+        return scale * p

@@ -96,12 +96,17 @@ def _hash_cells_jnp(cells, n_slots):
     return (h & jnp.uint32(n_slots - 1)).astype(jnp.int32)
 
 
-def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
+def build_hash_grid(points, cell_size, *, occupancy_factor=2.0, min_slots=1, min_bucket=1, min_cell_occupancy=0):
     """Bucket `points` (M, 3) into a hash grid with voxel edge `cell_size`.
 
     Host-side numpy, run once per target cloud (outside jit). The table size
     S is the next power of two ≥ occupancy_factor · (# occupied cells);
     the bucket capacity K is the max slot occupancy, so the table is lossless.
+
+    min_slots/min_bucket/min_cell_occupancy: capacity FLOORS — scan streams
+    (PairwiseRegistrar) pass the running maxima so the table shape (a jit
+    cache key) stays stable across same-density scans instead of flip-
+    flopping at a rounding boundary and recompiling the solve (r4).
     """
     pts = np.asarray(points, dtype=np.float32)
     if pts.ndim != 2 or pts.shape[1] != 3:
@@ -122,8 +127,11 @@ def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
     )
     _, cell_counts = np.unique(key, return_counts=True)
     n_occupied = len(cell_counts)
-    max_cell_occ = ((int(cell_counts.max()) + 15) // 16) * 16
+    max_cell_occ = max(
+        ((int(cell_counts.max()) + 15) // 16) * 16, int(min_cell_occupancy)
+    )
     n_slots = 1 << max(int(np.ceil(np.log2(max(occupancy_factor * n_occupied, 1)))), 4)
+    n_slots = max(n_slots, int(min_slots))
 
     slot = _hash_cells_np(cells, n_slots)
     order = np.argsort(slot, kind="stable")
@@ -138,7 +146,7 @@ def build_hash_grid(points, cell_size, *, occupancy_factor=2.0):
     # it, which dominated build time as tunnel transfer. Padding slots
     # carry idx −1 and are masked in the query; exactness is unaffected.
     K = max(int(counts.max()), 1)
-    K = ((K + 15) // 16) * 16
+    K = max(((K + 15) // 16) * 16, int(min_bucket))
 
     starts = np.zeros(n_slots + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
@@ -216,7 +224,7 @@ def _device_fill_table(pts, cells32, n_slots, K):
     return table_idx.reshape(n_slots, K), table_pts.reshape(n_slots, K, 3)
 
 
-def build_hash_grid_device(points, cell_size, *, occupancy_factor=2.0):
+def build_hash_grid_device(points, cell_size, *, occupancy_factor=2.0, min_slots=1, min_bucket=1, min_cell_occupancy=0):
     """Device-side grid build — same table semantics as build_hash_grid.
 
     The host build materializes the (S, K) table in numpy and ships it over
@@ -240,10 +248,11 @@ def build_hash_grid_device(points, cell_size, *, occupancy_factor=2.0):
 
     cells32 = jnp.floor(pts / cell_size).astype(jnp.int32)
     n_occupied, max_cell_occ = map(int, _device_occupancy(cells32))
-    max_cell_occ = ((max_cell_occ + 15) // 16) * 16
+    max_cell_occ = max(((max_cell_occ + 15) // 16) * 16, int(min_cell_occupancy))
     n_slots = 1 << max(int(np.ceil(np.log2(max(occupancy_factor * n_occupied, 1)))), 4)
+    n_slots = max(n_slots, int(min_slots))
     K = int(_device_max_occupancy(cells32, n_slots))
-    K = ((max(K, 1) + 15) // 16) * 16
+    K = max(((max(K, 1) + 15) // 16) * 16, int(min_bucket))
     table_idx, table_pts = _device_fill_table(pts, cells32, n_slots, K)
     return HashGrid(
         table_idx=table_idx,
@@ -252,6 +261,66 @@ def build_hash_grid_device(points, cell_size, *, occupancy_factor=2.0):
         max_cell_occupancy=max_cell_occ,
         n_points=int(pts.shape[0]),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "K"))
+def _device_fill_table_checked(pts, cells32, n_slots, K):
+    """_device_fill_table with FIXED capacities: overflowing ranks are
+    dropped (mode="drop") and an overflow flag is returned instead of
+    silently corrupting neighbor slots."""
+    M = pts.shape[0]
+    slot = _hash_cells_jnp(cells32, n_slots)
+    order = jnp.argsort(slot, stable=True)
+    slot_sorted = slot[order]
+    counts = jnp.zeros((n_slots,), jnp.int32).at[slot].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(M, dtype=jnp.int32) - starts[slot_sorted]
+    overflow = jnp.max(counts) > K
+    flat_pos = jnp.where(rank < K, slot_sorted * K + rank, n_slots * K)
+    table_idx = (
+        jnp.full((n_slots * K,), -1, jnp.int32)
+        .at[flat_pos]
+        .set(order.astype(jnp.int32), mode="drop")
+    )
+    table_pts = (
+        jnp.full((n_slots * K, 3), PAD_COORD, jnp.float32)
+        .at[flat_pos]
+        .set(pts[order], mode="drop")
+    )
+    return table_idx.reshape(n_slots, K), table_pts.reshape(n_slots, K, 3), overflow
+
+
+def build_hash_grid_fixed(points, cell_size, n_slots, K, max_cell_occupancy=0):
+    """SYNC-FREE device-side build with caller-supplied static capacities.
+
+    The adaptive builds must bring two scalars to the host to size the
+    table (a blocking round trip each — ~100 ms through the axon tunnel);
+    scan streams have stable density, so PairwiseRegistrar remembers the
+    capacities of previous scans and builds subsequent tables in one
+    dispatch with NO host synchronization.
+
+    Returns (HashGrid, overflow) where overflow is a DEVICE scalar bool:
+    True means some slot exceeded K and points were dropped — the table is
+    then incomplete and the caller must rebuild with build_hash_grid_device
+    (larger capacities) and redo whatever consumed it. Fetch the flag
+    together with the downstream result so the check costs no extra round
+    trip."""
+    pts = jnp.asarray(points, jnp.float32)
+    cell_size_f = float(cell_size)
+    cells32 = jnp.floor(pts / cell_size_f).astype(jnp.int32)
+    table_idx, table_pts, overflow = _device_fill_table_checked(
+        pts, cells32, int(n_slots), int(K)
+    )
+    grid = HashGrid(
+        table_idx=table_idx,
+        table_pts=table_pts,
+        cell_size=jnp.asarray(cell_size_f, jnp.float32),
+        max_cell_occupancy=int(max_cell_occupancy),
+        n_points=int(pts.shape[0]),
+    )
+    return grid, overflow
 
 
 def _neighbor_offsets(rings):

@@ -248,6 +248,15 @@ class PairwiseRegistrar:
         self.k = k
         self.epsilon = epsilon
         self._coarse = None  # lazily-built ungated registrar (first-pair seed)
+        # grid capacity policy (r4): running maxima of (n_slots, bucket K,
+        # cell occupancy) across the stream. Two jobs: (a) shape STABILITY —
+        # the table shape keys the jit cache, and a K flip at a rounding
+        # boundary recompiled the solve mid-sequence (measured 22 s/flip);
+        # (b) once known, later scans build their grid with the SYNC-FREE
+        # fixed-capacity device build (build_hash_grid_fixed) — the
+        # adaptive builds pay ~2 blocking tunnel round trips (~100 ms) or a
+        # multi-MB host-table upload (300-1000 ms) per pair.
+        self._grid_policy = None
 
         def make_block_fn(src, tgt_cloud, searcher, covs):
             if method == "icp":
@@ -348,24 +357,53 @@ class PairwiseRegistrar:
 
             covs = estimate_normals(tgt_cloud, k=self.k).astype(src.dtype)
         if self._use_grid(tgt_cloud.shape[0]):
-            from moptimizer_0_tpu.ops.grid_nn import (
-                build_hash_grid,
-                build_hash_grid_device,
-                estimate_spacing,
-            )
-
-            if self.max_corr_dist is not None:
-                cell = float(self.max_corr_dist)
-            else:
-                cell = 5.0 * estimate_spacing(tgt_cloud)
-            build = (
-                build_hash_grid_device
-                if tgt_cloud.shape[0] >= 100_000
-                else build_hash_grid
-            )
-            grid = build(tgt_cloud, cell)
-            return self._solve_grid(src, tgt_cloud, grid, x0, covs)
+            grid = self._build_grid(tgt_cloud)
+            res = self._solve_grid(src, tgt_cloud, grid, x0, covs)
+            if self._grid_overflow is not None and bool(self._grid_overflow):
+                # a denser scan outgrew the fixed capacities: rebuild
+                # adaptively with the old capacities as floors (monotonic
+                # growth — no oscillation) and redo this pair
+                grid = self._build_grid(tgt_cloud, force_adaptive=True)
+                res = self._solve_grid(src, tgt_cloud, grid, x0, covs)
+            return res
         return self._solve_brute(src, tgt_cloud, x0, covs)
+
+    def _build_grid(self, tgt_cloud, force_adaptive=False):
+        from moptimizer_0_tpu.ops.grid_nn import (
+            build_hash_grid,
+            build_hash_grid_device,
+            build_hash_grid_fixed,
+            estimate_spacing,
+        )
+
+        if self.max_corr_dist is not None:
+            cell = float(self.max_corr_dist)
+        else:
+            cell = 5.0 * estimate_spacing(tgt_cloud)
+        M = tgt_cloud.shape[0]
+        if self._grid_policy is not None and not force_adaptive:
+            S, K, occ = self._grid_policy
+            grid, overflow = build_hash_grid_fixed(tgt_cloud, cell, S, K, occ)
+            self._grid_overflow = overflow  # device scalar; checked by caller
+            return grid
+        self._grid_overflow = None
+        floors = {}
+        if self._grid_policy is not None:  # monotonic growth on overflow
+            S0, K0, occ0 = self._grid_policy
+            floors = dict(
+                min_slots=S0, min_bucket=K0 + 16, min_cell_occupancy=occ0
+            )
+        use_device = M >= 100_000 or (
+            M >= 20_000 and jax.default_backend() == "tpu"
+        )
+        build = build_hash_grid_device if use_device else build_hash_grid
+        grid = build(tgt_cloud, cell, **floors)
+        self._grid_policy = (
+            grid.n_slots,
+            grid.bucket_size,
+            grid.max_cell_occupancy,
+        )
+        return grid
 
 
 def icp(

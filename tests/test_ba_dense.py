@@ -8,6 +8,8 @@ trajectories agree to solver tolerance, and both match the dense
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,7 @@ def test_gn_blocks_match_flat_engine():
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_f), rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_analytic_jacobians_match_ad():
     """The closed-form A, B (cached R/t/Jr path) ≡ jacfwd of ba._residual."""
     start, _ = make_synthetic_ba(C=5, L=21, noise=0.7, seed=9)
@@ -100,6 +103,7 @@ def test_analytic_jacobians_match_ad():
             np.testing.assert_allclose(np.asarray(B[l, k]), np.asarray(B_ad), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_dense_step_matches_dense_oracle():
     """One damped dense-Schur solve ≡ the full (6C+3L) dense damped solve."""
     start, _ = make_synthetic_ba(C=4, L=12, noise=0.5, seed=5, n_fixed=1)

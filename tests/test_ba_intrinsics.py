@@ -8,8 +8,10 @@ import numpy as np
 
 from moptimizer_0_tpu import ba, ba_intrinsics
 from tests.test_ba import make_synthetic_ba
+import pytest
 
 
+@pytest.mark.slow
 def test_selfcal_schur_matches_dense_oracle():
     """One damped (cams, pts, θ) solve ≡ dense (6C+3L+4) damped solve."""
     prob, _ = make_synthetic_ba(C=3, L=14, n_fixed=1)

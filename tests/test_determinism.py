@@ -9,6 +9,7 @@ from moptimizer_0_tpu.core.linearize import compute_cost, linearize
 from moptimizer_0_tpu.lie import se3
 from moptimizer_0_tpu.models.point2point import point2point_block
 from moptimizer_0_tpu.parallel import make_mesh, sharded_linearize
+import pytest
 
 
 def _clouds(n=50_000):
@@ -30,6 +31,7 @@ def test_linearize_bitwise_reproducible():
         np.testing.assert_array_equal(np.asarray(b), np.asarray(runs[0][2]))
 
 
+@pytest.mark.slow
 def test_parallel_cost_bitwise_reproducible():
     """The deterministic replacement for the reference's racy
     parallelComputeCost (tst/parallel.cpp would flake here; we can't)."""

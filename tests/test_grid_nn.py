@@ -64,6 +64,7 @@ def _check_exact(query, points, cell, rings=1):
     return in_range.mean()
 
 
+@pytest.mark.slow
 def test_exact_uniform_cloud():
     rng = np.random.default_rng(0)
     points = rng.uniform(0, 10, (20000, 3)).astype(np.float32)
@@ -72,6 +73,7 @@ def test_exact_uniform_cloud():
     assert frac > 0.99  # sanity: almost every query has an in-range NN
 
 
+@pytest.mark.slow
 def test_exact_fachada_scan():
     """Real LiDAR scan (29,310 points, reference tst/data/fachada.txt)."""
     from moptimizer_0_tpu.utils.pointcloud import load_txt_cloud
@@ -107,6 +109,7 @@ def test_exact_negative_coords_and_outliers():
     _check_exact(query[:2000], points, cell=1.0)
 
 
+@pytest.mark.slow
 def test_exact_skewed_occupancy():
     """A dense clump + sparse halo: one slot holds hundreds of points (big K),
     exactness must survive bucket merging."""
@@ -150,6 +153,7 @@ def test_estimate_spacing_survives_duplicates():
         estimate_spacing(np.zeros((64, 3), np.float32))
 
 
+@pytest.mark.slow
 def test_exact_large_scale_default_heuristic():
     """>100k-point cloud with NO radius given: the production default
     (cell = 5× estimated spacing, registration.make_searcher) must still be
@@ -169,6 +173,7 @@ def test_exact_large_scale_default_heuristic():
     assert frac > 0.99
 
 
+@pytest.mark.slow
 def test_device_build_matches_host_build():
     """build_hash_grid_device ≡ build_hash_grid: same table shape, same
     bucket MEMBERSHIP per slot (content order may differ — sort
@@ -350,6 +355,7 @@ def test_cell_major_identical_to_query_major_uniform():
     np.testing.assert_array_equal(qd, cd)
 
 
+@pytest.mark.slow
 def test_cell_major_identical_surface_cloud():
     """Surface-like (high-occupancy cells) — the regime the bucket join is
     for; also checks rings=2."""
@@ -427,3 +433,43 @@ def test_cell_major_duplicates_and_tiny():
     # single query exercises the Q < 2 guard
     i1, d1 = grid_nearest_neighbors(jnp.asarray(q[:1]), grid)
     assert np.asarray(i1).shape == (1,)
+
+
+def test_fixed_capacity_build_and_overflow_recovery():
+    """build_hash_grid_fixed ≡ adaptive build at sufficient capacity; at
+    insufficient capacity it flags overflow instead of silently corrupting
+    the table; PairwiseRegistrar recovers by rebuilding (monotonic policy)."""
+    from moptimizer_0_tpu.ops.grid_nn import build_hash_grid_fixed
+    from moptimizer_0_tpu.registration import PairwiseRegistrar
+    from moptimizer_0_tpu.lie import se3
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 8, (6000, 3)).astype(np.float32)
+    g_ref = build_hash_grid(pts, 0.5)
+    g_fix, ovf = build_hash_grid_fixed(
+        pts, 0.5, g_ref.n_slots, g_ref.bucket_size, g_ref.max_cell_occupancy
+    )
+    assert not bool(ovf)
+    q = (pts[:2000] + 0.05 * rng.normal(size=(2000, 3))).astype(np.float32)
+    i1, d1 = grid_nearest_neighbors(jnp.asarray(q), g_ref)
+    i2, d2 = grid_nearest_neighbors(jnp.asarray(q), g_fix)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    # too-small K → overflow flag
+    _, ovf2 = build_hash_grid_fixed(pts, 0.5, g_ref.n_slots, 1, 16)
+    assert bool(ovf2)
+
+    # registrar: seed policy on a SPARSE scan, then register a pair whose
+    # target is 3× denser — overflow path must rebuild and stay correct
+    sparse = rng.uniform(0, 20, (6000, 3)).astype(np.float32)
+    dense = rng.uniform(0, 6, (6000, 3)).astype(np.float32)
+    x_true = jnp.asarray([0.2, -0.1, 0.05, 0.01, 0.02, -0.015], jnp.float32)
+    T = np.asarray(se3.transform_from_params6(x_true))
+    reg = PairwiseRegistrar(max_corr_dist=0.5, nn_backend="grid")
+    for tgt in (sparse, dense):
+        src = (tgt @ np.linalg.inv(T)[:3, :3].T + np.linalg.inv(T)[:3, 3]).astype(np.float32)
+        res = reg.register(jnp.asarray(src), jnp.asarray(tgt), x0=jnp.zeros(6, jnp.float32))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true), atol=2e-3)
+    # policy grew monotonically and kept the final capacities
+    assert reg._grid_policy is not None

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the default run
+
 
 def _free_port():
     with socket.socket() as s:

@@ -58,6 +58,7 @@ def _chain_graph(n=6, noise=1e-3, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_marginalize_at_converged_solution_is_stationary():
     graph = _chain_graph()
     res = pgo.solve_pgo(graph, pgo.PGOConfig(max_iterations=30))
@@ -108,6 +109,7 @@ def test_marginalize_then_new_edge_matches_full():
     )
 
 
+@pytest.mark.slow
 def test_sequential_marginalization():
     """Marginalize twice in a row (prior folded into the next prior)."""
     graph = _chain_graph(n=7)
@@ -124,6 +126,7 @@ def test_sequential_marginalization():
     )
 
 
+@pytest.mark.slow
 def test_fixed_lag_slam_tracks_batch_odometry():
     """scan_slam_fixed_lag on the standing 24-scan world: bounded-window
     streaming stays within the batch odometry's ATE bound (the loop has no

@@ -8,6 +8,7 @@ import numpy as np
 
 from moptimizer_0_tpu import pose_graph as pgo
 from moptimizer_0_tpu.lie import se3, so3
+import pytest
 
 
 def _compose_params6(a, b):
@@ -158,6 +159,7 @@ def test_pgo_cg_matches_dense():
     assert float(res_cg.cost) < 1e-14
 
 
+@pytest.mark.slow
 def test_pgo_cg_large_graph():
     """CG path on a 300-pose chain (dense would be 1800×1800 — still fine,
     but this pins the scalable path's convergence)."""

@@ -32,6 +32,7 @@ def cloud_pair():
     return jnp.asarray(src), jnp.asarray(tgt)
 
 
+@pytest.mark.slow
 def test_sharded_cost_equals_serial(cloud_pair):
     """Parallel ≈ serial cost to 1e-8 on a large cloud (reference
     tst/parallel.cpp:84-93 uses 1M points; 100k here keeps CI fast)."""
@@ -44,6 +45,7 @@ def test_sharded_cost_equals_serial(cloud_pair):
     np.testing.assert_allclose(c_shard, c_serial, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_linearize_equals_serial(cloud_pair):
     src, tgt = cloud_pair
     blk = point2point_block(src, tgt)
@@ -56,6 +58,7 @@ def test_sharded_linearize_equals_serial(cloud_pair):
     np.testing.assert_allclose(b1, b0, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_shard_counts_1_2_8_agree(cloud_pair):
     src, tgt = cloud_pair
     blk = point2point_block(src, tgt)

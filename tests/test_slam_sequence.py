@@ -25,6 +25,8 @@ from moptimizer_0_tpu.evaluation import ate_rmse, rpe
 from moptimizer_0_tpu.lie import se3, so3
 from moptimizer_0_tpu.odometry import scan_odometry, scan_slam
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the default run
+
 K_SCANS = 24
 N_POINTS = 4096
 SENSOR_NOISE = 0.01  # 1 cm per-scan Gaussian noise — what creates drift

@@ -88,3 +88,77 @@ def test_manifold_lm_on_product_state():
     )
     np.testing.assert_allclose(so3.exp(res.x[:3]), so3.exp(anchor_rot), atol=1e-6)
     np.testing.assert_allclose(res.x[3:], anchor_lin, atol=1e-6)
+
+
+# ---- Sphere manifold (r4 — the reference ontology's "Spherical"
+# parameterization, docs/Optimizer.puml, never implemented there) ----------
+
+
+def test_sphere_manifold_chart_roundtrip():
+    import numpy as np
+
+    from moptimizer_0_tpu.core.manifold import Sphere
+
+    m = Sphere(dim=4)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.normal(size=4)
+        x /= np.linalg.norm(x)
+        d = 0.3 * rng.normal(size=3)
+        y = np.asarray(m.retract(jnp.asarray(x), jnp.asarray(d)))
+        np.testing.assert_allclose(np.linalg.norm(y), 1.0, atol=1e-12)
+        d_back = np.asarray(m.local(jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(d_back, d, atol=1e-9)
+    # zero step is the identity
+    x = rng.normal(size=4)
+    x /= np.linalg.norm(x)
+    y0 = np.asarray(m.retract(jnp.asarray(x), jnp.zeros(3)))
+    np.testing.assert_allclose(y0, x, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(m.local(jnp.asarray(x), jnp.asarray(x))), 0.0, atol=1e-9
+    )
+
+
+def test_sphere_manifold_quaternion_fit():
+    """Unit-quaternion attitude fit through the LM solver with
+    manifold=Sphere(4): tangent dim 3, unit norm preserved exactly."""
+    import numpy as np
+
+    from moptimizer_0_tpu.core.manifold import Sphere
+    from moptimizer_0_tpu.core.residual import make_block, problem
+    from moptimizer_0_tpu.core.solver import LMConfig, levenberg_marquardt
+
+    def quat_rot(q):
+        w, x, y, z = q[0], q[1], q[2], q[3]
+        return jnp.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+
+    rng = np.random.default_rng(4)
+    q_true = rng.normal(size=4)
+    q_true /= np.linalg.norm(q_true)
+    vs = rng.normal(size=(12, 3))
+    ms = np.asarray(jnp.einsum("ij,nj->ni", quat_rot(jnp.asarray(q_true)), jnp.asarray(vs)))
+
+    def residual(q, d):
+        return d["m"] - quat_rot(q) @ d["v"]
+
+    blk = make_block(residual, data=dict(v=jnp.asarray(vs), m=jnp.asarray(ms)))
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    res = levenberg_marquardt(
+        problem(blk),
+        q0,
+        LMConfig(diff_mode="auto", max_iterations=30),
+        manifold=Sphere(dim=4),
+    )
+    q_est = np.asarray(res.x)
+    np.testing.assert_allclose(np.linalg.norm(q_est), 1.0, atol=1e-12)
+    # q and −q are the same rotation
+    if np.dot(q_est, q_true) < 0:
+        q_est = -q_est
+    np.testing.assert_allclose(q_est, q_true, atol=1e-8)
+    assert float(res.cost) < 1e-20
