@@ -44,14 +44,42 @@ def crossover():
 
     from moptimizer_0_tpu.ops.grid_nn import (
         build_hash_grid,
+        build_hash_grid_device,
         grid_nearest_neighbors,
     )
     from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
 
     rng = np.random.default_rng(0)
-    print("| M = Q | brute query | grid query | grid build | grid K | winner |")
-    print("|---|---|---|---|---|---|")
-    for M in (10_000, 30_000, 100_000, 300_000, 1_000_000):
+    import functools
+
+    def slope(fn_of_q, qd, reps=3, k1=1, k2=5):
+        """Marginal in-jit time per query sweep (the quantity the LM loop
+        pays per iteration): K applications chained in one dispatch,
+        two-point slope — the single-dispatch protocol the r1-r3 table
+        used folds the ~30-45 ms tunnel floor into every row and made the
+        sub-100k rows meaningless ("both dispatch-bound")."""
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run_n(qd, n):
+            def body(c, _):
+                i, d = fn_of_q(qd + c * 1e-6)
+                return c + 1.0, i.sum()
+            c, s_ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return s_[-1]
+
+        np.asarray(run_n(qd, k1)); np.asarray(run_n(qd, k2))
+        t1 = t2 = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter(); np.asarray(run_n(qd, k1)); t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter(); np.asarray(run_n(qd, k2)); t2 = min(t2, time.perf_counter() - t0)
+        return (t2 - t1) / (k2 - k1)
+
+    sizes = tuple(int(a) for a in sys.argv[2:]) or (
+        10_000, 30_000, 100_000, 300_000, 1_000_000
+    )
+    print("| M = Q | brute query (VPU) | grid query (cell-major) | grid build | grid K | winner |", flush=True)
+    print("|---|---|---|---|---|---|", flush=True)
+    for M in sizes:
         # constant density: extent grows with sqrt(M) so spacing (and the
         # cell heuristic) stay LiDAR-like at every size
         extent = 100.0 * np.sqrt(M / 1e6)
@@ -62,27 +90,14 @@ def crossover():
         qd = jax.device_put(jnp.asarray(query))
         pd = jax.device_put(jnp.asarray(points))
 
-        def time_fn(fn, reps):
-            np.asarray(fn()[0])  # compile + warm
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                np.asarray(fn()[0])
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        reps = 1 if M >= 1_000_000 else 3
-        t_brute = time_fn(
-            lambda: nearest_neighbors(qd, pd, backend="pallas"), reps
-        )
+        t_brute = slope(lambda q: nearest_neighbors(q, pd, backend="pallas"), qd)
 
         t0 = time.perf_counter()
-        grid = build_hash_grid(points, cell)
-        jax.block_until_ready(grid.table_pts)
+        build = build_hash_grid_device if M >= 20_000 else build_hash_grid
+        grid = build(points, cell)
+        np.asarray(grid.table_idx[0, 0])
         t_build = time.perf_counter() - t0
-        t_grid = time_fn(
-            lambda: grid_nearest_neighbors(qd, grid, chunk=8192), 3
-        )
+        t_grid = slope(lambda q: grid_nearest_neighbors(q, grid), qd)
         winner = "grid" if t_grid < t_brute else "brute"
         print(
             f"| {M:,} | {t_brute*1e3:.1f} ms | {t_grid*1e3:.1f} ms | "

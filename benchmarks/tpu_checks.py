@@ -1,0 +1,146 @@
+"""On-chip numerics battery: PASS/FAIL checks that CPU CI cannot catch.
+
+Motivation (r4): the cell-major grid query was bitwise-correct under the
+CPU test suite yet silently wrong on the TPU — small-int bitcast patterns
+are f32 denormals and the chip flushes them to zero through op chains that
+are bit-exact on CPU (docs/PERF.md finding 8). This script runs the
+TPU-sensitive invariants on the REAL device; run it whenever a kernel or
+numerics-adjacent path changes:
+
+    python benchmarks/tpu_checks.py
+
+Checks: grid query mode equality (bitwise), VPU NN kernel vs an f64
+oracle, fixed-capacity grid build equivalence + overflow flag, mixed
+precision recovering the Powell/camera reference tolerances, and the f32
+curve-fit oracle.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name}" + (f"  ({detail})" if detail else ""), flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # mixed-precision checks
+    import jax.numpy as jnp
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+
+    # --- 1. denormal flush is still a hazard (documents the platform fact)
+    k = jnp.arange(0, 64, dtype=jnp.int32)
+    f = jax.lax.bitcast_convert_type(k, jnp.float32)
+
+    @jax.jit
+    def roundtrip(f):
+        buf = jnp.zeros((128, 2), jnp.float32).at[jnp.arange(64)].set(
+            jnp.stack([f, f], axis=-1)
+        )
+        sl = jax.lax.dynamic_slice(buf, (jnp.int32(0), jnp.int32(0)), (64, 2))
+        return jax.lax.bitcast_convert_type(sl[:, 0], jnp.int32)
+
+    flushed = not bool(jnp.all(roundtrip(f) == k))
+    print(
+        f"[info] int32→f32 bitcast transport of small ints is "
+        f"{'FLUSHED (the documented TPU hazard)' if flushed else 'preserved on this backend'}",
+        flush=True,
+    )
+
+    # --- 2. grid query: cell-major ≡ query-major, bitwise, on chip
+    from moptimizer_0_tpu.ops.grid_nn import (
+        build_hash_grid,
+        build_hash_grid_fixed,
+        grid_nearest_neighbors,
+    )
+
+    xy = rng.uniform(0, 40, (60_000, 2))
+    z = np.sin(xy[:, 0] * 0.6) * np.cos(xy[:, 1] * 0.4) + 0.05 * rng.normal(size=60_000)
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    q = (pts[:40_000] + 0.04 * rng.normal(size=(40_000, 3))).astype(np.float32)
+    grid = build_hash_grid(pts, 0.5)
+    qi, qd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="query")
+    ci, cd = grid_nearest_neighbors(jnp.asarray(q), grid, mode="auto")
+    same = bool(jnp.all(qi == ci)) and bool(
+        jnp.all(jnp.where(jnp.isfinite(qd), qd == cd, jnp.isinf(cd)))
+    )
+    check("grid cell-major == query-major (bitwise, on chip)", same,
+          f"matched {float(jnp.mean(ci >= 0)):.3f}")
+
+    # --- 3. fixed-capacity build ≡ adaptive; overflow flag fires
+    g_fix, ovf = build_hash_grid_fixed(
+        pts, 0.5, grid.n_slots, grid.bucket_size, grid.max_cell_occupancy
+    )
+    fi, fd = grid_nearest_neighbors(jnp.asarray(q), g_fix, mode="auto")
+    check(
+        "fixed-capacity grid build == adaptive (on chip)",
+        (not bool(ovf)) and bool(jnp.all(fi == ci)),
+    )
+    _, ovf2 = build_hash_grid_fixed(pts, 0.5, grid.n_slots, 1, 16)
+    check("fixed-capacity overflow flag fires", bool(ovf2))
+
+    # --- 4. VPU NN kernel vs f64 oracle (sampled)
+    from moptimizer_0_tpu.ops.nn_search import nearest_neighbors
+
+    p2 = rng.uniform(0, 30, (20_000, 3)).astype(np.float32)
+    q2 = rng.uniform(0, 30, (4_000, 3)).astype(np.float32)
+    i_vpu, d_vpu = map(np.asarray, nearest_neighbors(jnp.asarray(q2), jnp.asarray(p2), backend="pallas"))
+    dist = ((q2[:, None, :].astype(np.float64) - p2[None, :, :]) ** 2).sum(-1)
+    oi, od = dist.argmin(1), dist.min(1)
+    mism = i_vpu != oi
+    bad = 0
+    if mism.any():  # exact ties only
+        alt = ((q2[mism].astype(np.float64) - p2[i_vpu[mism]]) ** 2).sum(-1)
+        bad = int((~np.isclose(alt, od[mism], rtol=1e-6)).sum())
+    check("VPU NN kernel vs f64 oracle", bad == 0, f"{mism.sum()} ties, {bad} wrong")
+
+    # --- 5. mixed precision recovers reference tolerances on chip
+    from moptimizer_0_tpu import LMConfig, levenberg_marquardt
+    from moptimizer_0_tpu.core.residual import problem
+    from moptimizer_0_tpu.models.powell import powell_block
+
+    cfg = LMConfig(
+        diff_mode="auto", linear_solver="cholesky",
+        accum_dtype=jnp.float64, max_iterations=25,
+    )
+    res = levenberg_marquardt(
+        problem(powell_block(analytic=True)),
+        jnp.asarray([3.0, -1.0, 0.0, 4.0], jnp.float32),
+        cfg,
+    )
+    err = float(jnp.max(jnp.abs(res.x)))
+    check("mixed precision: Powell within reference 5e-5", err < 5e-5, f"{err:.1e}")
+
+    # --- 6. f32 curve-fit oracle
+    from moptimizer_0_tpu.models.curve_fitting import exponential_curve_block
+
+    res2 = levenberg_marquardt(
+        problem(exponential_curve_block(dtype=jnp.float32)),
+        jnp.zeros(2, jnp.float32),
+        LMConfig(diff_mode="auto", linear_solver="cholesky"),
+    )
+    err2 = float(np.abs(np.asarray(res2.x) - [0.291861, 0.131439]).max())
+    check("f32 curve fit within reference 5e-5", err2 < 5e-5, f"{err2:.1e}")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} FAILURES: {FAILURES}")
+        sys.exit(1)
+    print("all on-chip checks PASS")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,8 +64,13 @@ def _nn_kernel(q_ref, p_ref, qn_ref, pn_ref, idx_ref, dist_ref, min_s, arg_s):
     d2 = qn_ref[:] - 2.0 * cross + pn_ref[:]  # (BQ,1) + (1,BP) broadcast
 
     local_min = jnp.min(d2, axis=1, keepdims=True)  # (BQ, 1)
+    # first-min position via masked iota + min: argmin's variadic-reduce
+    # lowering emits int64 under x64, which Mosaic cannot lower — this
+    # form is pure int32 (and identical tie semantics: first position)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     local_arg = (
-        jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32) + pj * p.shape[0]
+        jnp.min(jnp.where(d2 == local_min, iota, jnp.int32(2**30)), axis=1, keepdims=True)
+        + pj * p.shape[0]
     )
 
     better = local_min < min_s[:]
@@ -98,14 +103,14 @@ def _nn_pallas(query, points, block_q=512, block_p=1024, interpret=False):
         _nn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_p, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 128), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, 128), lambda i, j: (j, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p), lambda i, j: (i * 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Qp, 1), jnp.int32),
@@ -155,8 +160,10 @@ def _nn_vpu_kernel(q_ref, pt_ref, idx_ref, dist_ref, min_s, arg_s):
     d2 = dx * dx + dy * dy + dz * dz
 
     local_min = jnp.min(d2, axis=1, keepdims=True)  # (BQ, 1)
+    # masked iota + min instead of argmin (see _nn_kernel): int32-only
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     local_arg = (
-        jnp.argmin(d2, axis=1, keepdims=True).astype(jnp.int32)
+        jnp.min(jnp.where(d2 == local_min, iota, jnp.int32(2**30)), axis=1, keepdims=True)
         + pj * pt_ref.shape[1]
     )
 
@@ -189,12 +196,12 @@ def _nn_pallas_vpu(query, points, block_q=512, block_p=4096, interpret=False):
         _nn_vpu_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 128), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_p), lambda i, j: (i * 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, j * 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Qp, 1), jnp.int32),
