@@ -357,7 +357,7 @@ def _tri_inv_lower(Lmat):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=None):
+def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=None, precision="highest"):
     """Explicit S = blockdiag(U') − Σ_l Ã_l Ã_lᵀ by blocked MXU accumulation.
 
     Ã_l = (Σ_k 1[cam=c] W_lk) · Linv_lᵀ where V'⁻¹ = Linvᵀ·Linv. The scan
@@ -416,8 +416,9 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
         oh = oh * mk[..., None]  # (chunk,K,C)
         # permuted panel: columns indexed (i, c) with c minor/lanes — see
         # the ordering note in the docstring
-        A2 = jnp.einsum("qkim,qkc->qmic", Gk, oh).reshape(chunk * 3, 6 * C)
-        return S + A2.T @ A2, None
+        with jax.default_matmul_precision(precision):
+            A2 = jnp.einsum("qkim,qkc->qmic", Gk, oh).reshape(chunk * 3, 6 * C)
+            return S + A2.T @ A2, None
 
     S0 = jnp.zeros((C * 6, C * 6), dtype)
     if axis_name is not None:
@@ -448,7 +449,8 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
 
 
 def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
-                       axis_name=None, schur_solver="auto"):
+                       axis_name=None, schur_solver="auto",
+                       schur_precision="highest"):
     """One damped dense-Schur solve → (δcam (C,6), δpt (L,3)).
 
     Under shard_map (axis_name set) L is the local landmark shard: the
@@ -464,7 +466,10 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
     Linv = _tri_inv_lower(Lv)  # (L,3,3)
     Vinv = jnp.sum(Linv[..., :, None] * Linv[..., None, :], axis=-3)  # LᵀL
 
-    S = _build_schur(U_d, Linv, W, grouped, fixed_mask, chunk=chunk, axis_name=axis_name)
+    S = _build_schur(
+        U_d, Linv, W, grouped, fixed_mask, chunk=chunk, axis_name=axis_name,
+        precision=schur_precision,
+    )
 
     # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
     t = jnp.sum(Vinv * h[:, None, :], axis=-1)  # (L,3)
@@ -499,6 +504,17 @@ class DenseBAConfig:
     # recursion, ops/block_cholesky.py), or "auto" (measured best — the
     # expander, which solves C=3000 in ~120 ms; benchmarks/cholesky_ab.py).
     schur_solver: str = "auto"
+    # matmul precision for the S-build panels (the step's dominant MXU
+    # cost): "default" (1 bf16 pass — the production default), "high"
+    # (3 passes), "highest" (6 passes — the library-wide setting for
+    # everything else). Lower settings perturb the Gauss-Newton STEP only —
+    # costs and the accept/reject ρ test stay in full precision, so LM
+    # absorbs the step noise: measured per-iteration costs agree to 3e-6
+    # relative over 5 iterations at O=500k while the outer step runs
+    # 37.2 → 19.2 ms (1.94×, docs/PERF.md). CPU matmuls ignore the setting
+    # (precision controls TPU bf16 pass count), so the f64 oracle tests
+    # are unaffected.
+    schur_precision: str = "default"
 
 
 def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis_name=None):
@@ -534,7 +550,7 @@ def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis
     def solve_fn(lam_k):
         return _solve_delta_dense(
             grouped, C, U, V, W, g, h, lam_k, fixed_mask, config.schur_chunk,
-            axis_name, config.schur_solver,
+            axis_name, config.schur_solver, config.schur_precision,
         )
 
     def cost_fn(cams_i, pts_i):

@@ -458,3 +458,22 @@ def test_dense_sharded_robust_loss_and_fixed_cameras():
         np.asarray(res8.trace["cost"]), np.asarray(res1.trace["cost"]),
         rtol=1e-9, atol=1e-12,
     )
+
+
+def test_schur_precision_convergence_equivalent():
+    """schur_precision perturbs only the GN step (costs/ρ stay exact):
+    final costs after a full solve agree tightly across settings. On CPU
+    the setting is a no-op numerically (it controls TPU bf16 pass count) —
+    this pins the PLUMBING; the on-chip trade-off (1.94× at 3e-6 relative
+    cost agreement, O=500k) is measured in docs/PERF.md and
+    benchmarks/tpu_checks.py territory."""
+    prob, _gt = make_synthetic_ba(C=6, L=60, noise=0.5, seed=11)
+    res_hi = ba_dense.solve_ba_dense(
+        prob, ba_dense.DenseBAConfig(max_iterations=10, schur_precision="highest")
+    )
+    res_lo = ba_dense.solve_ba_dense(
+        prob, ba_dense.DenseBAConfig(max_iterations=10, schur_precision="default")
+    )
+    np.testing.assert_allclose(
+        float(res_lo.cost), float(res_hi.cost), rtol=1e-4
+    )
