@@ -14,6 +14,11 @@ Self-checking (asserts); runs on CPU or TPU:
    being discarded (core/prior.py; pose_graph.marginalize_oldest).
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import jax.numpy as jnp
