@@ -69,6 +69,10 @@ class BAConfig:
     init_lambda_factor: float = 1e-9
     cg_iterations: int = 50
     cg_tol: float = 1e-8
+    # optional noise-floor stopping (mirrors LMConfig.rel_cost_tol): an
+    # accepted step improving the cost by <= tol*y0 terminates CONVERGED.
+    # 0.0 = off (parity semantics).
+    rel_cost_tol: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -289,7 +293,7 @@ def _solve_delta(problem, U, V, W, g, h, lam, config):
 
 def _lm_trials(
     state, y0, b_flat, cams0, pts0, solve_fn, cost_fn, inner_iterations,
-    metrics_fn=None,
+    metrics_fn=None, rel_cost_tol=0.0,
 ):
     """The reference's inner LM trial loop (src/levenberg_marquadt_dyn.cpp:
     77-114) over a (cameras, points) pair — thin wrapper around
@@ -317,6 +321,7 @@ def _lm_trials(
         lambda p: cost_fn(p[0], p[1]),
         inner_iterations,
         metrics_fn=tree_metrics,
+        rel_cost_tol=rel_cost_tol,
     )
     cams, pts = out.pop("params")
     return dict(out, cams=cams, pts=pts)
@@ -324,7 +329,7 @@ def _lm_trials(
 
 def _lm_trials_tree(
     state, y0, b_flat, params0, solve_fn, cost_fn, inner_iterations,
-    metrics_fn=None,
+    metrics_fn=None, rel_cost_tol=0.0,
 ):
     """Inner LM trial loop over an arbitrary parameter pytree — shared by
     the matrix-free CG engine (ba.py, params = (cams, pts)), the dense-Schur
@@ -386,6 +391,15 @@ def _lm_trials_tree(
         ).astype(jnp.int32)
 
         gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        terminal = is_nan | term_small
+        if rel_cost_tol > 0.0:  # static: graph unchanged when off
+            # accepted step at the noise floor → stop as CONVERGED (the
+            # practical criterion of core.solver.LMConfig.rel_cost_tol)
+            rel_term = accept & ((y0 - yi) <= rel_cost_tol * jnp.abs(y0))
+            terminal = terminal | rel_term
+            status = jnp.where(
+                rel_term, jnp.int32(int(Status.CONVERGED)), status
+            )
         return dict(
             params=jax.tree_util.tree_map(
                 lambda new, old: jnp.where(accept, new, old), params_i, s["params"]
@@ -400,7 +414,7 @@ def _lm_trials_tree(
             rho=rho,
             status=status,
             stop=accept | is_nan | term_small,
-            terminal=is_nan | term_small,
+            terminal=terminal,
             k=s["k"] + 1,
         )
 
@@ -476,6 +490,7 @@ def ba_step(problem, lam, config=BAConfig()):
         solve_fn,
         cost_fn,
         config.inner_iterations,
+        rel_cost_tol=config.rel_cost_tol,
     )
 
     terminal = converged0 | state["terminal"]

@@ -515,6 +515,8 @@ class DenseBAConfig:
     # (precision controls TPU bf16 pass count), so the f64 oracle tests
     # are unaffected.
     schur_precision: str = "default"
+    # optional noise-floor stopping (mirrors LMConfig.rel_cost_tol); 0 = off
+    rel_cost_tol: float = 0.0
 
 
 def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis_name=None):
@@ -578,6 +580,7 @@ def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis
     state = ba._lm_trials(
         state, y0, b_flat, cams, pts, solve_fn, cost_fn,
         config.inner_iterations, metrics_fn=metrics_fn,
+        rel_cost_tol=config.rel_cost_tol,
     )
 
     terminal = converged0 | state["terminal"]

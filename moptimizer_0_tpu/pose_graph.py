@@ -71,6 +71,8 @@ class PGOConfig:
     solver: str = "dense"  # "dense" (Cholesky on 6N×6N) | "cg" (matrix-free)
     cg_iterations: int = 100
     cg_tol: float = 1e-10
+    # optional noise-floor stopping (mirrors LMConfig.rel_cost_tol); 0 = off
+    rel_cost_tol: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -458,6 +460,15 @@ def solve_pgo(graph, config=PGOConfig()):
             ).astype(jnp.int32)
 
             gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            terminal_i = is_nan | term_small
+            if config.rel_cost_tol > 0.0:  # static: graph unchanged when off
+                rel_term = accept & (
+                    (y0 - yi) <= config.rel_cost_tol * jnp.abs(y0)
+                )
+                terminal_i = terminal_i | rel_term
+                status = jnp.where(
+                    rel_term, jnp.int32(int(Status.CONVERGED)), status
+                )
             return dict(
                 k=s["k"] + 1,
                 poses=jnp.where(accept, poses_i, s["poses"]),
@@ -469,7 +480,7 @@ def solve_pgo(graph, config=PGOConfig()):
                 rho=rho,
                 status=status,
                 stop=accept | is_nan | term_small,
-                terminal=is_nan | term_small,
+                terminal=terminal_i,
             )
 
         inner = jax.lax.while_loop(inner_cond, inner_body, inner0)

@@ -173,3 +173,14 @@ def test_ba_host_loop_matches_device_loop():
     np.testing.assert_allclose(res_host.camera_params, res_dev.camera_params, atol=1e-10)
     np.testing.assert_allclose(res_host.points, res_dev.points, atol=1e-10)
     assert int(res_host.iterations) == int(res_dev.iterations)
+
+
+def test_ba_rel_cost_tol_stops_early():
+    """BAConfig.rel_cost_tol (r4, mirrors LMConfig): noise-floor stopping
+    terminates CONVERGED in fewer iterations at an equal minimum."""
+    prob, _ = make_synthetic_ba(C=5, L=50, noise=0.5, seed=7)
+    base = ba.solve_ba(prob, ba.BAConfig(max_iterations=30))
+    fast = ba.solve_ba(prob, ba.BAConfig(max_iterations=30, rel_cost_tol=1e-8))
+    assert int(fast.iterations) <= int(base.iterations)
+    assert int(fast.status) == int(Status.CONVERGED)
+    np.testing.assert_allclose(float(fast.cost), float(base.cost), rtol=1e-4)

@@ -192,3 +192,16 @@ def test_pgo_prior_dominant_graph_not_falsely_converged():
     assert int(res.iterations) > 0
     # solver must trade edge cost against the prior: true total cost drops
     assert float(res.cost) < 0.9 * start
+
+
+def test_pgo_rel_cost_tol_stops_early():
+    """PGOConfig.rel_cost_tol (r4): noise-floor stopping, equal optimum."""
+    graph, _ = make_ring_graph(N=10, drift=0.03, seed=8)
+    base = pgo.solve_pgo(graph, pgo.PGOConfig(max_iterations=40))
+    fast = pgo.solve_pgo(
+        graph, pgo.PGOConfig(max_iterations=40, rel_cost_tol=1e-8)
+    )
+    assert int(fast.iterations) <= int(base.iterations)
+    np.testing.assert_allclose(
+        float(fast.cost), float(base.cost), rtol=1e-3, atol=1e-12
+    )
