@@ -208,6 +208,11 @@ def ba_step_selfcal(problem, lam, config=ba.BAConfig()):
         ).astype(jnp.int32)
 
         gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        terminal_i = is_nan | term_small
+        if config.rel_cost_tol > 0.0:  # mirrors BAConfig.rel_cost_tol
+            rel_term = accept & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
+            terminal_i = terminal_i | rel_term
+            status = jnp.where(rel_term, jnp.int32(int(Status.CONVERGED)), status)
         trial = dict(
             cams=jnp.where(accept, cams_i, state["cams"]),
             pts=jnp.where(accept, pts_i, state["pts"]),
@@ -222,7 +227,7 @@ def ba_step_selfcal(problem, lam, config=ba.BAConfig()):
             rho=rho,
             status=status,
             stop=accept | is_nan | term_small,
-            terminal=is_nan | term_small,
+            terminal=terminal_i,
         )
         frozen = state["stop"]
         state = jax.tree_util.tree_map(
