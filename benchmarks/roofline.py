@@ -180,6 +180,11 @@ def grid_nn_row(Q=1_000_000, M=1_000_000, cell=0.5):
         dt=dt,
         r=r,
         valid=valid,
+        note=(
+            "pipeline of sort/scatter rows + VPU distance block: no single "
+            "resource ceiling applies (stage decomposition in PERF.md); "
+            "3.5× the r3 query-major sweep"
+        ),
     )
 
 
@@ -217,9 +222,15 @@ def cholesky_row(n, method):
     return dict(name=f"SPD solve {method} (n={n})", dt=dt, r=r, valid=valid, note=note)
 
 
-def schur_build_row(C=200, L=50_000, K=25, chunk=512):
+def schur_build_row(C=200, L=50_000, K=25, chunk=512, precision="highest"):
     """Dense-Schur S build: the engine's dominant matmul — per chunk one
-    (3·chunk, 6C)ᵀ(3·chunk, 6C) product ⇒ 2·3L·(6C)² FLOPs total."""
+    (3·chunk, 6C)ᵀ(3·chunk, 6C) product ⇒ 2·3L·(6C)² FLOPs total.
+
+    Measured at both precisions: "highest" (6 bf16 passes — the roofline's
+    f32-matmul ceiling accounting applies) and "default" (1 bf16 pass —
+    the r4 production default, DenseBAConfig.schur_precision; its % is
+    accounted against the same 6-pass ceiling so the speedup is visible
+    as >100% utilization of the f32 ceiling)."""
     from moptimizer_0_tpu import ba_dense
 
     rng = np.random.default_rng(3)
@@ -238,14 +249,16 @@ def schur_build_row(C=200, L=50_000, K=25, chunk=512):
 
     def step(i, c, U_d, Vc, W, grouped, fixed):
         W2 = W * (1.0 + i.astype(jnp.float32) * 1e-7 + c * 1e-30)
-        S = ba_dense._build_schur(U_d, Vc, W2, grouped, fixed, chunk)
+        S = ba_dense._build_schur(
+            U_d, Vc, W2, grouped, fixed, chunk, precision=precision
+        )
         return c + S[0, 0] * 1e-30
 
     dt, valid = slope_bench(step, k1=2, k2=8, args=(U_d, Vc, W, grouped, fixed))
     flops = 2.0 * 3 * L * (6 * C) ** 2  # the A2ᵀA2 accumulation
     bytes_a = 4.0 * (L * K * 18 + L * K * 18)  # read W, write+reread G
     r = profiling.roofline(dt, flops=flops, bytes_accessed=bytes_a)
-    return dict(name=f"dense-Schur S build (C={C}, L={L//1000}k, K={K})", dt=dt, r=r, valid=valid)
+    return dict(name=f"dense-Schur S build (C={C}, L={L//1000}k, K={K}, {precision})", dt=dt, r=r, valid=valid)
 
 
 def main():
@@ -259,6 +272,7 @@ def main():
         lambda: cholesky_row(6 * 2048, "xla"),
         lambda: cholesky_row(6 * 2048, "blocked"),
         lambda: schur_build_row(),
+        lambda: schur_build_row(precision="default"),
     ):
         row = make()
         print(f"done: {row['name']} {row['dt']*1e3:.3f} ms/app", flush=True)
