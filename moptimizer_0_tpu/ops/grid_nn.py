@@ -9,12 +9,19 @@ the classic spatial-hash answer re-shaped for TPU/XLA:
   cell into a power-of-two table, bucket points per slot, pad buckets to the
   max slot occupancy K. Result is a dense (S, K) index table + (S, K, 3)
   coordinate table — static shapes, no pointers, gather-friendly.
-* **Query** (jitted, device): each query hashes its own cell plus the
-  (2·rings+1)³ neighborhood (27 cells for rings=1), gathers those buckets'
-  coordinates in one slot-granular gather (K·3 contiguous floats per slot —
-  ~K·12 bytes per descriptor instead of 12, amortizing TPU's row-granular
-  gather cost), and reduces min/argmin on the VPU. lax.scan over query
-  chunks bounds live memory to (chunk · n_cells · K · 3) floats.
+* **Query** (jitted, device; r4 cell-major "bucket join", the default):
+  queries are grouped by voxel cell (one multi-operand sort + contiguous
+  padded-buffer bookkeeping), each occupied cell's (2·rings+1)³-bucket
+  neighborhood (27 for rings=1) is gathered ONCE for all its queries, and
+  structure-of-arrays distances reduce on the VPU — XLA gathers pay a
+  fixed per-row descriptor price, so descriptor count (≈ queries ÷ mean
+  cell occupancy) is the design variable. A lax.cond falls back to the
+  query-major per-query gather when static capacities don't hold; results
+  are elementwise identical either way (docs/PERF.md, measured 2.1-3.5×).
+* **Fixed-capacity build** (`build_hash_grid_fixed`): one-dispatch,
+  sync-free table build at caller-supplied capacities with a device
+  overflow flag — scan streams (registration.PairwiseRegistrar) remember
+  capacities across same-density scans.
 
 Semantics: returns the EXACT nearest neighbor for every query whose true NN
 distance is < rings·cell_size; queries with nothing that close get
