@@ -232,7 +232,7 @@ class PairwiseRegistrar:
 
     def __init__(
         self, *, config=None, loss=None, max_corr_dist=None, nn_backend="auto",
-        method="icp", k=10, epsilon=1e-3,
+        method="icp", k=10, epsilon=1e-3, coarse_multistart=0,
     ):
         if config is None:
             config = LMConfig(
@@ -247,7 +247,15 @@ class PairwiseRegistrar:
         self.method = method
         self.k = k
         self.epsilon = epsilon
+        # coarse_multistart > 0: the unseeded (first-pair) coarse pass runs
+        # that many yaw-rotated starts BATCHED (levenberg_marquardt_batched)
+        # and keeps the lowest-cost one — point-to-point ICP's basin is
+        # narrower than one scan step once inter-scan rotation grows past
+        # ~10-15°, and a failed first pair poisons every constant-velocity
+        # seed after it (measured failure in docs/PERF.md p2plane section).
+        self.coarse_multistart = int(coarse_multistart)
         self._coarse = None  # lazily-built ungated registrar (first-pair seed)
+        self._coarse_ms = None  # lazily-jitted multistart coarse solve
         # grid capacity policy (r4): running maxima of (n_slots, bucket K,
         # cell occupancy) across the stream. Two jobs: (a) shape STABILITY —
         # the table shape keys the jit cache, and a K flip at a rounding
@@ -301,6 +309,21 @@ class PairwiseRegistrar:
             blk = make_block_fn(src, tgt_cloud, searcher, covs)
             return levenberg_marquardt(problem(blk), x0, config)
 
+        def solve_grid_fused(src, tgt_cloud, x0, covs, S, K, occ):
+            # fixed-capacity grid build + solve in ONE dispatch: through a
+            # remote transport every dispatch costs a round trip (~20-25 ms
+            # on the axon tunnel), and with known capacities the build is
+            # pure static-shape jit ops — fusing it removes one round trip
+            # per pair (r4). Returns (result, device overflow flag).
+            from moptimizer_0_tpu.ops.grid_nn import build_hash_grid_fixed
+
+            grid, overflow = build_hash_grid_fixed(
+                tgt_cloud, max_corr_dist, S, K, occ
+            )
+            searcher = lambda warped: grid_nearest_neighbors(warped, grid)  # noqa: E731
+            blk = make_block_fn(src, tgt_cloud, searcher, covs)
+            return levenberg_marquardt(problem(blk), x0, config), overflow
+
         def solve_brute(src, tgt_cloud, x0, covs):
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             searcher = lambda warped: nearest_neighbors(  # noqa: E731
@@ -310,6 +333,9 @@ class PairwiseRegistrar:
             return levenberg_marquardt(problem(blk), x0, config)
 
         self._solve_grid = jax.jit(solve_grid)
+        self._solve_grid_fused = jax.jit(
+            solve_grid_fused, static_argnames=("S", "K", "occ")
+        )
         self._solve_brute = jax.jit(solve_brute)
 
     def _use_grid(self, m):
@@ -335,13 +361,16 @@ class PairwiseRegistrar:
             )
             x0 = x0.at[0:3].set(t0)
             if self.max_corr_dist is not None:
-                if self._coarse is None:
-                    self._coarse = PairwiseRegistrar(
-                        config=self.config, loss=self.loss,
-                        max_corr_dist=None, nn_backend=self.nn_backend,
-                        method=self.method, k=self.k, epsilon=self.epsilon,
-                    )
-                x0 = self._coarse.register(src, tgt_cloud, x0).x
+                if self.coarse_multistart > 0:
+                    x0 = self._coarse_multistart_seed(src, tgt_cloud)
+                else:
+                    if self._coarse is None:
+                        self._coarse = PairwiseRegistrar(
+                            config=self.config, loss=self.loss,
+                            max_corr_dist=None, nn_backend=self.nn_backend,
+                            method=self.method, k=self.k, epsilon=self.epsilon,
+                        )
+                    x0 = self._coarse.register(src, tgt_cloud, x0).x
         covs = None
         if self.method == "gicp":
             from moptimizer_0_tpu.ops.surface import gicp_covariances
@@ -357,16 +386,71 @@ class PairwiseRegistrar:
 
             covs = estimate_normals(tgt_cloud, k=self.k).astype(src.dtype)
         if self._use_grid(tgt_cloud.shape[0]):
+            if self._grid_policy is not None and self.max_corr_dist is not None:
+                # steady-state stream: build + solve in one dispatch
+                S, K, occ = self._grid_policy
+                res, overflow = self._solve_grid_fused(
+                    src, tgt_cloud, x0, covs, S=S, K=K, occ=occ
+                )
+                if not bool(overflow):
+                    return res
+                # denser scan outgrew the capacities: rebuild adaptively
+                # with the old capacities as floors (monotonic growth)
+                grid = self._build_grid(tgt_cloud, force_adaptive=True)
+                return self._solve_grid(src, tgt_cloud, grid, x0, covs)
             grid = self._build_grid(tgt_cloud)
             res = self._solve_grid(src, tgt_cloud, grid, x0, covs)
             if self._grid_overflow is not None and bool(self._grid_overflow):
-                # a denser scan outgrew the fixed capacities: rebuild
-                # adaptively with the old capacities as floors (monotonic
-                # growth — no oscillation) and redo this pair
                 grid = self._build_grid(tgt_cloud, force_adaptive=True)
                 res = self._solve_grid(src, tgt_cloud, grid, x0, covs)
             return res
         return self._solve_brute(src, tgt_cloud, x0, covs)
+
+    def _coarse_multistart_seed(self, src, tgt_cloud):
+        """Best-of-B ungated coarse alignment: B yaw-rotated starts about
+        the source centroid, solved in ONE batched program (the accept/
+        reject control flow vmaps to per-lane masking), lowest healthy
+        final cost wins. Always point-to-point (coarse alignment needs the
+        basin, not the p2plane/GICP fidelity)."""
+        from moptimizer_0_tpu.core.solver import (
+            Status,
+            levenberg_marquardt_batched,
+        )
+
+        if self._coarse_ms is None:
+            B = self.coarse_multistart
+            config = self.config
+
+            def solve(src, tgt_cloud):
+                dt = src.dtype
+                c_src = jnp.median(src, axis=0)
+                t0 = jnp.median(tgt_cloud.astype(dt), axis=0) - c_src
+                ang = 2.0 * jnp.pi * jnp.arange(B, dtype=dt) / B
+                ca, sa = jnp.cos(ang), jnp.sin(ang)
+                # rotate about the source centroid by yaw θ, then translate
+                # by the centroid offset: t = t0 + c − R c, ω = (0, 0, θ)
+                Rc = jnp.stack(
+                    [ca * c_src[0] - sa * c_src[1],
+                     sa * c_src[0] + ca * c_src[1],
+                     jnp.broadcast_to(c_src[2], ang.shape)], axis=1)
+                t = t0[None, :] + c_src[None, :] - Rc
+                w = jnp.stack(
+                    [jnp.zeros_like(ang), jnp.zeros_like(ang), ang], axis=1)
+                x0s = jnp.concatenate([t, w], axis=1)  # (B, 6)
+
+                searcher = lambda warped: nearest_neighbors(  # noqa: E731
+                    warped, tgt_cloud, backend="xla"
+                )
+                blk = _icp_block_with_searcher(src, tgt_cloud, searcher)
+                res = levenberg_marquardt_batched(
+                    problem(blk), x0s, config, batch_data=False
+                )
+                bad = res.status == int(Status.NUMERIC_ERROR)
+                cost = jnp.where(bad, jnp.inf, res.cost)
+                return res.x[jnp.argmin(cost)]
+
+            self._coarse_ms = jax.jit(solve)
+        return self._coarse_ms(src, tgt_cloud)
 
     def _build_grid(self, tgt_cloud, force_adaptive=False):
         from moptimizer_0_tpu.ops.grid_nn import (

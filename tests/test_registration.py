@@ -209,3 +209,48 @@ def test_point2plane_beats_point2point_on_smooth_surface():
     e_p2l = np.abs(np.asarray(r_p2l.x) - np.asarray(x_true))[obs].max()
     assert e_p2l < 5e-3
     assert e_p2l <= e_p2p * 3  # and never catastrophically worse
+
+
+def test_coarse_multistart_recovers_large_yaw():
+    """coarse_multistart (r4): at 60° inter-scan yaw the single-start
+    coarse pass lands in a wrong basin and the solve fails outright; 8
+    yaw-rotated starts solved in one batched program recover exactly
+    (the measured first-pair failure mode of docs/PERF.md's p2plane
+    section, fixed at the seeding level)."""
+    from moptimizer_0_tpu.registration import PairwiseRegistrar
+
+    rng = np.random.default_rng(41)
+    per = 1200
+    s_ = 8.0
+    u = rng.uniform(-s_, s_, size=(4, per))
+    v = rng.uniform(0, 3.0, size=(4, per))
+    walls = [
+        np.column_stack([u[0], np.full(per, -s_), v[0]]),
+        np.column_stack([u[1], np.full(per, s_), v[1]]),
+        np.column_stack([np.full(per, -s_), u[2], v[2]]),
+        np.column_stack([np.full(per, s_), u[3], v[3]]),
+    ]
+    g = rng.uniform(-s_, s_, size=(1200, 2))
+    tgt = np.vstack(walls + [np.column_stack([g, np.zeros(1200)])]).astype(
+        np.float32
+    )
+    tgt += 0.01 * rng.normal(size=tgt.shape).astype(np.float32)
+
+    x_true = jnp.asarray([0.5, -0.4, 0.05, 0.0, 0.0, 1.05], jnp.float32)
+    T = np.asarray(se3.transform_from_params6(x_true))
+    src = (tgt @ np.linalg.inv(T)[:3, :3].T + np.linalg.inv(T)[:3, 3]).astype(
+        np.float32
+    )
+
+    reg0 = PairwiseRegistrar(max_corr_dist=0.4, nn_backend="xla")
+    err0 = float(
+        jnp.max(jnp.abs(reg0.register(jnp.asarray(src), jnp.asarray(tgt)).x - x_true))
+    )
+    reg8 = PairwiseRegistrar(
+        max_corr_dist=0.4, nn_backend="xla", coarse_multistart=8
+    )
+    err8 = float(
+        jnp.max(jnp.abs(reg8.register(jnp.asarray(src), jnp.asarray(tgt)).x - x_true))
+    )
+    assert err0 > 0.5  # the documented single-start failure
+    assert err8 < 1e-3  # multistart recovers (measured 3e-5)
