@@ -395,7 +395,11 @@ def _lm_trials_tree(
         if rel_cost_tol > 0.0:  # static: graph unchanged when off
             # accepted step at the noise floor → stop as CONVERGED (the
             # practical criterion of core.solver.LMConfig.rel_cost_tol)
-            rel_term = accept & ((y0 - yi) <= rel_cost_tol * jnp.abs(y0))
+            # yi <= y0 guards the NaN-ρ accept fallthrough (ADVICE r4): a
+            # cost-increasing accepted step must not be labeled CONVERGED
+            rel_term = (
+                accept & (yi <= y0) & ((y0 - yi) <= rel_cost_tol * jnp.abs(y0))
+            )
             terminal = terminal | rel_term
             status = jnp.where(
                 rel_term, jnp.int32(int(Status.CONVERGED)), status

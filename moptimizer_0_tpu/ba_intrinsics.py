@@ -210,7 +210,12 @@ def ba_step_selfcal(problem, lam, config=ba.BAConfig()):
         gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         terminal_i = is_nan | term_small
         if config.rel_cost_tol > 0.0:  # mirrors BAConfig.rel_cost_tol
-            rel_term = accept & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
+            # yi <= y0 guards the NaN-ρ accept fallthrough (ADVICE r4)
+            rel_term = (
+                accept
+                & (yi <= y0)
+                & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
+            )
             terminal_i = terminal_i | rel_term
             status = jnp.where(rel_term, jnp.int32(int(Status.CONVERGED)), status)
         trial = dict(

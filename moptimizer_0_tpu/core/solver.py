@@ -235,9 +235,16 @@ def _outer_iteration(problem, x, lam, config, manifold):
         new_nu = jnp.where(retry, 2.0 * s["nu"], s["nu"])
         terminal = is_nan | term_small
         if config.rel_cost_tol > 0.0:  # static: graph unchanged when off
-            # accepted step that improved the cost by less than tol·y0:
-            # the solve has hit its noise floor — stop as CONVERGED
-            rel_term = accept & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
+            # accepted step that GENUINELY improved the cost by less than
+            # tol·y0: the solve has hit its noise floor — stop as CONVERGED.
+            # yi <= y0 is load-bearing: a NaN-ρ fallthrough accepts even a
+            # cost-INCREASING step (parity semantics), which must surface as
+            # more iterations, not a CONVERGED label (ADVICE r4).
+            rel_term = (
+                accept
+                & (yi <= y0)
+                & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
+            )
             terminal = terminal | rel_term
             status = jnp.where(
                 rel_term, jnp.int32(int(Status.CONVERGED)), status

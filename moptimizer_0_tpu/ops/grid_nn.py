@@ -460,7 +460,10 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
         Kq = -(-(grid.max_cell_occupancy * 5 // 4 + 4) // 8) * 8
     else:
         Kq = K
-    C_max = int(max_cells) if max_cells is not None else S
+    # occupied QUERY cells can never exceed Q, so min(S, Q) bounds the padded
+    # buffers without losing exactness (a skewed-occupancy grid can have a
+    # large Kq; sizing by S alone would cost S·Kq·20 B of HBM regardless of Q)
+    C_max = int(max_cells) if max_cells is not None else min(S, Q)
     # cells per while-loop chunk: bound the live (CC, Kq, k³·K) distance
     # block to ~32 MB of f32
     CC = max(8, min(1024, (1 << 23) // max(Kq * n_off * K, 1)))
@@ -531,7 +534,12 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
             dy = qc[:, :, 1:2] - cf[:, None, :, 1]
             dz = qc[:, :, 2:3] - cf[:, None, :, 2]
             d2 = dx * dx + dy * dy + dz * dz  # (CC, Kq, k³·K)
-            d2 = jnp.where(d2 < r2, d2, jnp.inf)
+            # the cand_idx >= 0 mask is load-bearing for tables whose padding
+            # slots are NOT PAD_COORD (legacy zero-padded pickles): a query
+            # near the origin would otherwise match a phantom (0,0,0) slot
+            # (ADVICE r4 medium). cand_idx is already gathered — one compare.
+            valid = cand_idx.reshape(CC, 1, n_off * K) >= 0
+            d2 = jnp.where((d2 < r2) & valid, d2, jnp.inf)
             # two min-reduces instead of argmin + take_along_axis (see
             # _query_major); same smallest-global-index tie-break
             bd2 = jnp.min(d2, axis=-1)  # (CC, Kq)

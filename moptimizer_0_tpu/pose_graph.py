@@ -462,8 +462,11 @@ def solve_pgo(graph, config=PGOConfig()):
             gain = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
             terminal_i = is_nan | term_small
             if config.rel_cost_tol > 0.0:  # static: graph unchanged when off
-                rel_term = accept & (
-                    (y0 - yi) <= config.rel_cost_tol * jnp.abs(y0)
+                # yi <= y0 guards the NaN-ρ accept fallthrough (ADVICE r4)
+                rel_term = (
+                    accept
+                    & (yi <= y0)
+                    & ((y0 - yi) <= config.rel_cost_tol * jnp.abs(y0))
                 )
                 terminal_i = terminal_i | rel_term
                 status = jnp.where(
