@@ -245,11 +245,43 @@ def _time_ba_outer_iter(jax, jnp, O=500_000, C=200, L=50_000):
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+def _run_tpu_checks_preflight():
+    """On-chip numerics battery as a bench preflight (VERDICT r4 weak #6).
+
+    Runs benchmarks/tpu_checks.py in a SUBPROCESS (it flips jax_enable_x64
+    globally, which must not leak into the bench legs' numerics ordering)
+    and returns a short status string for the bench JSON. The artifact
+    TPU_CHECKS.json lands at the repo root either way; a battery failure
+    is reported, not fatal — the driver still needs the headline line."""
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(root / "benchmarks" / "tpu_checks.py")],
+            capture_output=True, text=True, timeout=900,
+        )
+        tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        print(f"# tpu_checks: rc={proc.returncode} {tail}", file=sys.stderr)
+        art = root / "TPU_CHECKS.json"
+        if art.exists():
+            rec = json.loads(art.read_text())
+            if rec.get("ok"):
+                return f"pass ({rec.get('n_checks')} checks, {rec.get('platform')})"
+            return f"FAIL: {rec.get('failures')}"
+        return f"no artifact (rc={proc.returncode})"
+    except Exception as e:
+        print(f"# tpu_checks preflight failed to run: {e}", file=sys.stderr)
+        return f"error: {e}"
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from moptimizer_0_tpu.core.solver import LMConfig
+
+    tpu_checks_status = _run_tpu_checks_preflight()
 
     accel = jax.devices()  # default backend: TPU under the driver
     on_tpu = accel[0].platform != "cpu"
@@ -361,6 +393,7 @@ def main():
                 "unit": unit,
                 "vs_baseline": round(head_ratio, 3) if head_ratio else None,
                 "extra_metrics": extra,
+                "tpu_checks": tpu_checks_status,
             }
         )
     )

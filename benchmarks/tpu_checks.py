@@ -23,13 +23,39 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FAILURES = []
+N_CHECKS = 0
 
 
 def check(name, ok, detail=""):
+    global N_CHECKS
+    N_CHECKS += 1
     status = "PASS" if ok else "FAIL"
     print(f"[{status}] {name}" + (f"  ({detail})" if detail else ""), flush=True)
     if not ok:
         FAILURES.append(name)
+
+
+def _write_artifact(platform):
+    """Driver-visible battery result (VERDICT r4 weak #6: the battery found
+    three real platform bugs in r4 but ran only when remembered — bench.py
+    now runs it as a preflight and this artifact lands every round)."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TPU_CHECKS.json",
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "ok": not FAILURES,
+                "n_checks": N_CHECKS,
+                "failures": FAILURES,
+                "platform": platform,
+            },
+            f,
+        )
+        f.write("\n")
 
 
 def main():
@@ -136,6 +162,7 @@ def main():
     check("f32 curve fit within reference 5e-5", err2 < 5e-5, f"{err2:.1e}")
 
     print()
+    _write_artifact(jax.devices()[0].platform)
     if FAILURES:
         print(f"{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)

@@ -86,6 +86,19 @@ def compute_cost(block_or_problem, x, accum_dtype=None):
     return total
 
 
+def compute_block_costs(block_or_problem, x, accum_dtype=None):
+    """Per-cost-block unweighted Σ‖r‖², stacked to (n_blocks,).
+
+    The reference logs every cost's value separately each outer iteration
+    (src/levenberg_marquadt_dyn.cpp:41-42, the per-cost duna::Logger line) —
+    this is that multi-block debugging affordance; LMConfig.trace_block_costs
+    records it into the solver trace."""
+    blocks = getattr(block_or_problem, "blocks", None)
+    if blocks is None:
+        blocks = (block_or_problem,)
+    return jnp.stack([compute_cost(b, x, accum_dtype) for b in blocks])
+
+
 def _jacobian_fd(block, x, r0):
     """Reference forward-difference Jacobian (linearization.h:78-106).
 

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from moptimizer_0_tpu.core.linearize import (
+    compute_block_costs,
     compute_cost,
     linearize,
     linearize_tangent,
@@ -75,6 +76,13 @@ class LMConfig:
     # ill-conditioned f32 solve (Powell, camera calibration —
     # tests/test_f32_envelope.py). Requires jax_enable_x64. None = off.
     accum_dtype: Any = None
+    # Per-cost-block trace granularity: the reference logs each cost's value
+    # separately every outer iteration (src/levenberg_marquadt_dyn.cpp:41-42).
+    # When on, trace["block_costs"] is (max_iterations, n_blocks) — the
+    # pre-step cost of every block at each executed outer iteration. Default
+    # off: the extra per-block evaluations change the traced graph (not the
+    # iterate sequence).
+    trace_block_costs: bool = False
 
     def __post_init__(self):
         if self.max_iterations < 0:
@@ -292,6 +300,12 @@ def _outer_iteration(problem, x, lam, config, manifold):
         accepted=inner["accepted"],
         inner=inner["trace"],  # per-trial (inner_iterations,) arrays
     )
+    if config.trace_block_costs:
+        # pre-step per-block costs at this outer iteration's x (the
+        # reference's per-cost logger line, src/levenberg_marquadt_dyn.cpp:41-42)
+        record["block_costs"] = compute_block_costs(
+            problem, x, accum_dtype=config.accum_dtype
+        )
     return problem, inner["x"], inner["lam"], terminal, status, record
 
 
@@ -318,6 +332,10 @@ def _minimize_impl(problem, x0, config, manifold):
             accepted=jnp.zeros((n_it, n_inner), bool),
         ),
     )
+    if config.trace_block_costs:
+        trace0["block_costs"] = jnp.full(
+            (n_it, len(problem.blocks)), jnp.nan, dtype
+        )
 
     carry0 = dict(
         x=x0,

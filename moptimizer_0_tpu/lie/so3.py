@@ -85,6 +85,22 @@ def exp(w):
     return eye + a * K + b * K2
 
 
+def exp_dt(ang_vel, dt):
+    """Angular-velocity integration: R = Exp(ω·dt).
+
+    Counterpart of the reference's two-argument overload
+    ``so3::Exp(ang_vel, dt)`` (so3.cpp:76-93), which applies Rodrigues at
+    angle ‖ω‖·dt about axis ω/‖ω‖ — algebraically exp(ω·dt), the one-step
+    rigid-body integrator IMU preintegration builds on. Here the product
+    form is exact by construction (no separate axis normalization), and the
+    small-angle Taylor branch of :func:`exp` replaces the reference's
+    snap-to-identity below ‖ω‖ = 1e-7, keeping the map differentiable in
+    both ω and dt.
+    """
+    dt = jnp.asarray(dt, jnp.asarray(ang_vel).dtype)
+    return exp(ang_vel * dt[..., None])
+
+
 def log(R):
     """Axis-angle from rotation matrix, accurate over the full range [0, π].
 

@@ -46,13 +46,21 @@ def format_trace(result, max_rows=None):
     n = min(n, len(tr["cost"]))
     if max_rows is not None:
         n = min(n, max_rows)
-    lines = ["it | prev_cost | new_cost | rho | lambda | nu | accepted"]
+    has_blocks = "block_costs" in tr  # LMConfig.trace_block_costs — the
+    # reference's per-cost logger line (src/levenberg_marquadt_dyn.cpp:41-42)
+    header = "it | prev_cost | new_cost | rho | lambda | nu | accepted"
+    lines = [header + (" | block_costs" if has_blocks else "")]
     for i in range(n):
         if not np.isfinite(tr["cost"][i]) and i > int(result.iterations):
             break
-        lines.append(
+        line = (
             f"{i} | {tr['cost'][i]:.6e} | {tr['cost_new'][i]:.6e} | "
             f"{tr['rho'][i]:.4f} | {tr['lam'][i]:.3e} | {tr['nu'][i]:.1f} | "
             f"{bool(tr['accepted'][i])}"
         )
+        if has_blocks:
+            line += " | [" + ", ".join(
+                f"{c:.6e}" for c in tr["block_costs"][i]
+            ) + "]"
+        lines.append(line)
     return "\n".join(lines)

@@ -150,3 +150,46 @@ def test_grad_through_exp_at_zero():
     assert np.all(np.isfinite(g))
     g2 = jax.grad(lambda w: jnp.sum(so3.left_jacobian(w)))(jnp.zeros(3, dtype=jnp.float64))
     assert np.all(np.isfinite(g2))
+
+
+@pytest.mark.parametrize("dt", [0.0, 1e-3, 0.04, 1.0, -0.5])
+def test_exp_dt_integrates_angular_velocity(dt):
+    """so3.exp_dt(w, dt) == exp(w*dt) == Rodrigues at angle |w|*dt about
+    w/|w| — the reference's two-argument overload (so3.cpp:76-93)."""
+    w = jnp.asarray([0.3, -0.8, 0.5], jnp.float64)
+    R = so3.exp_dt(w, dt)
+    np.testing.assert_allclose(
+        np.asarray(R), np.asarray(so3.exp(w * dt)), rtol=0, atol=1e-14
+    )
+    # reference form: axis-normalized Rodrigues at r_ang = |w|*dt
+    n = float(jnp.linalg.norm(w))
+    K = np.asarray(so3.hat(w / n))
+    ang = n * dt
+    R_ref = np.eye(3) + np.sin(ang) * K + (1.0 - np.cos(ang)) * K @ K
+    np.testing.assert_allclose(np.asarray(R), R_ref, atol=1e-12)
+    # round trip: log recovers w*dt (within the principal branch)
+    if abs(ang) < np.pi:
+        np.testing.assert_allclose(
+            np.asarray(so3.log(R)), np.asarray(w) * dt, atol=1e-12
+        )
+
+
+def test_exp_dt_zero_velocity_differentiable():
+    """At ω = 0 the reference snaps to identity; here the Taylor branch
+    keeps exp_dt differentiable in dt (d/dt Exp(ω t) = hat(ω) at t=0)."""
+    w = jnp.asarray([0.2, -0.1, 0.4], jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(so3.exp_dt(jnp.zeros(3, jnp.float64), 0.7)), np.eye(3), atol=0
+    )
+    dR = jax.jacfwd(lambda t: so3.exp_dt(w, t))(jnp.asarray(0.0, jnp.float64))
+    np.testing.assert_allclose(np.asarray(dR), np.asarray(so3.hat(w)), atol=1e-12)
+
+
+def test_exp_dt_batched():
+    ws = jnp.asarray(RNG.normal(size=(5, 3)))
+    dts = jnp.asarray(RNG.uniform(0.0, 0.1, size=(5,)))
+    Rs = so3.exp_dt(ws, dts)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(Rs[i]), np.asarray(so3.exp(ws[i] * dts[i])), atol=1e-14
+        )

@@ -39,3 +39,31 @@ def test_split_cost_same_linearization():
     np.testing.assert_allclose(c1, c2, rtol=1e-14)
     np.testing.assert_allclose(H1, H2, rtol=1e-13)
     np.testing.assert_allclose(b1, b2, rtol=1e-13)
+
+
+def test_trace_block_costs():
+    """LMConfig.trace_block_costs records each block's pre-step cost per
+    outer iteration (reference per-cost logger line,
+    src/levenberg_marquadt_dyn.cpp:41-42): rows sum to the total cost and
+    the iterate sequence is unchanged."""
+    multi = problem(
+        exponential_curve_block(CERES_CURVE_DATA[:30]),
+        exponential_curve_block(CERES_CURVE_DATA[30:]),
+    )
+    x0 = jnp.array([0.0, 0.0])
+    res_plain = levenberg_marquardt(multi, x0, LMConfig(diff_mode="fd"))
+    res = levenberg_marquardt(
+        multi, x0, LMConfig(diff_mode="fd", trace_block_costs=True)
+    )
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(res_plain.x))
+    bc = np.asarray(res.trace["block_costs"])
+    assert bc.shape == (15, 2)
+    n = int(res.iterations) + 1
+    total = np.asarray(res.trace["cost"])
+    np.testing.assert_allclose(bc[:n].sum(axis=1), total[:n], rtol=1e-12)
+    assert np.all(bc[:n] > 0)
+    # the rendered trace carries the per-block column
+    from moptimizer_0_tpu.utils.logging import format_trace
+
+    txt = format_trace(res)
+    assert "block_costs" in txt.splitlines()[0]
