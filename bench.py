@@ -280,7 +280,9 @@ def main():
     import jax.numpy as jnp
 
     from moptimizer_0_tpu.core.solver import LMConfig
+    from moptimizer_0_tpu.utils.cache import enable_persistent_cache
 
+    enable_persistent_cache()  # process restarts reuse the big executables
     tpu_checks_status = _run_tpu_checks_preflight()
 
     accel = jax.devices()  # default backend: TPU under the driver

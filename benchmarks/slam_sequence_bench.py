@@ -84,9 +84,13 @@ def make_sequence(k_scans, n_points, seed=42, dtype=jnp.float32):
 
 
 def main():
+    from moptimizer_0_tpu.utils.cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 32_768
-    print(f"devices: {jax.devices()}  K={K} scans  N={N} pts/scan")
+    print(f"devices: {jax.devices()}  K={K} scans  N={N} pts/scan  "
+          f"(persistent compile cache: {cache_dir})")
 
     scans, gt = make_sequence(K, N)
     # rel_cost_tol: stop each pairwise solve at its noise floor (reached by
@@ -106,27 +110,32 @@ def main():
     kwargs = dict(method="icp", registrar=reg)
 
     # --- stage 1: odometry front-end.
-    # First pair = compile (coarse pass + fused build+solve + chain_poses).
-    from moptimizer_0_tpu.odometry import chain_poses, scan_odometry
+    # Warmup pass over the first scans: compiles every path (coarse pass,
+    # adaptive build, fused build+solve, chain_poses) AND lets the grid
+    # capacity policy absorb early overflow growth (an overflow redo bumps
+    # the static capacities and recompiles the fused program once — with
+    # the persistent cache that costs seconds on restart). Timed as the
+    # cold start; NOT part of the steady-state measurement.
+    from moptimizer_0_tpu.odometry import scan_odometry
 
     t0 = time.perf_counter()
-    r_first = reg.register(scans[1], scans[0])
-    np.asarray(r_first.x)
-    np.asarray(chain_poses(jnp.zeros((K - 1, 6), jnp.float32)))
+    warm = min(K, 10)
+    poses_w, _ = scan_odometry(scans[:warm], method="icp", registrar=reg)
+    np.asarray(poses_w)
     t_first = time.perf_counter() - t0
 
     # r4 reference mode: synchronous per-pair loop (one host round trip per
     # pair — the flag fetch + result materialization every deployment with
     # a remote accelerator used to pay)
     t_sync_pairs = []
-    prev_rel = r_first.x
-    for k in range(2, min(8, K)):
+    prev_rel = None
+    for k in range(1, min(8, K)):
         t0 = time.perf_counter()
         rel, _ = register_pair(scans[k], scans[k - 1], x0=prev_rel, **kwargs)
         np.asarray(rel)
         t_sync_pairs.append(time.perf_counter() - t0)
         prev_rel = rel
-    t_sync = float(np.median(t_sync_pairs))
+    t_sync = float(np.median(t_sync_pairs[1:]))  # [0] re-runs the coarse seed
 
     # r5 production mode: transport-oblivious pipelined loop — every pair
     # dispatched sync-free, overflow checked one pair late, poses chained
@@ -135,7 +144,7 @@ def main():
     poses_odo, rels = scan_odometry(scans, method="icp", registrar=reg)
     np.asarray(poses_odo)
     t_front = time.perf_counter() - t0
-    t_steady = t_front / (K - 1)
+    t_steady = (t_front - t_sync_pairs[0]) / (K - 2) if K > 2 else t_front
     rels = list(rels)
 
     # --- stage 2: loop closures

@@ -593,6 +593,47 @@ def _batched_icp_jit(config, max_corr_dist):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=32)
+def _batched_icp_sharded_jit(config, max_corr_dist, mesh, axis):
+    """Mesh-sharded fleet ICP: the batch axis laid out over devices.
+
+    shard_map over the mesh axis, each device vmapping its local lanes —
+    lanes are fully independent (no collectives), so per-lane LM while_loop
+    trip counts may diverge across devices without synchronization. This is
+    the serving-workload form of the SURVEY §2.3 DP plan: a fleet of B
+    same-shape alignment jobs scales across chips at B/n_devices lanes per
+    chip (VERDICT r4 task 8)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def run(srcs, tgt_clouds, x0s, loss):
+        def one(src, tgt, x0):
+            searcher = lambda w: nearest_neighbors(w, tgt, backend="xla")  # noqa: E731
+            blk = _icp_block_with_searcher(
+                src, tgt, searcher, loss=loss, max_corr_dist=max_corr_dist
+            )
+            return levenberg_marquardt(problem(blk), x0, config)
+
+        def local(srcs, tgts, x0s, loss):
+            return jax.vmap(one)(srcs, tgts, x0s)
+
+        spec = P(axis)
+        loss_spec = jax.tree.map(lambda _: P(), loss)
+        # check_vma=False: the LM while_loop carry mixes replicated scalars
+        # (λ, ν seeds) with lane-dependent values — the per-device program
+        # is still purely local (no collectives), so the varying-axis check
+        # is over-strict here
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, loss_spec),
+            out_specs=spec,
+            check_vma=False,
+        )(srcs, tgt_clouds, x0s, loss)
+
+    return jax.jit(run)
+
+
 def icp_batched(
     srcs,
     tgt_clouds,
@@ -601,6 +642,8 @@ def icp_batched(
     config=None,
     loss=None,
     max_corr_dist=None,
+    mesh=None,
+    mesh_axis=None,
 ):
     """B full ICP solves (per-iteration NN correspondence update included)
     vmapped into ONE device program — fleet registration.
@@ -611,6 +654,13 @@ def icp_batched(
     same-shape pairs solved SEQUENTIALLY with grid search use
     PairwiseRegistrar instead — batching wins when pairs are small and
     latency-bound, the registrar when each pair is large.
+
+    mesh: optional jax.sharding.Mesh — shards the batch axis over the mesh's
+    devices (shard_map, no collectives: lanes are independent), B lanes
+    becoming B/n_devices per chip. B must divide evenly by the mesh axis
+    size (pad the fleet or pick B accordingly). mesh_axis defaults to the
+    mesh's first axis name. Per-lane results equal the single-device path
+    (tests/test_sharding.py).
 
     Returns an LMResult with a leading B axis; per-lane results match
     individual icp() solves (tests/test_batched_solver.py).
@@ -628,6 +678,17 @@ def icp_batched(
         )
 
     mcd = None if max_corr_dist is None else float(max_corr_dist)
+    if mesh is not None:
+        axis = mesh_axis or mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        if srcs.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"fleet size B={srcs.shape[0]} must divide the mesh axis "
+                f"{axis!r} ({n_dev} devices) — pad the fleet to a multiple"
+            )
+        return _batched_icp_sharded_jit(config, mcd, mesh, axis)(
+            srcs, tgt_clouds, x0s, loss
+        )
     return _batched_icp_jit(config, mcd)(srcs, tgt_clouds, x0s, loss)
 
 
