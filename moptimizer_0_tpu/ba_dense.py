@@ -271,12 +271,20 @@ def _cost_grouped(cams, pts, intr, grouped, axis_name=None):
     return y
 
 
-def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None):
+def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None,
+                       precision="default"):
     """Gauss-Newton blocks, all dense: U,g by one-hot matmul over cameras,
     V,h by masked sum over the K axis, W kept on the grid.
 
     Robust-loss weight w = loss(‖r‖²) applies to H,b only (reference
     linearization.h:108-115).
+
+    precision: matmul pass count for the one-hot U/g contractions. The
+    library-wide 'highest' (6 bf16 passes) made this stage 14.07 ms of the
+    23 ms outer step at O=500k — 'default' (1 pass) measures 2.45 ms with
+    max relative U/g perturbation ~1e-4 (benchmarks/gn_blocks_ab.py, r5):
+    the same GN-step-only trade as DenseBAConfig.schur_precision (costs
+    and the accept/reject ρ stay full-precision, LM absorbs step noise).
 
     axis_name: when running under shard_map with the landmark axis sharded,
     the camera-axis reductions U and g contract over the (distributed) L
@@ -296,11 +304,12 @@ def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None):
     # dots, ~100× off MXU peak, PERF.md finding 2). Only the camera-axis
     # one-hot contractions (huge L·K contraction dim) stay real matmuls.
     AtA = ba._outer_rows(Aw, A)  # (L,K,6,6)
-    U = jnp.einsum("lkc,lkjm->cjm", oh, AtA)  # one-hot matmul → (C,6,6)
+    Ar = A[..., 0, :] * rw[..., 0, None] + A[..., 1, :] * rw[..., 1, None]  # (L,K,6)
+    with jax.default_matmul_precision(precision):
+        U = jnp.einsum("lkc,lkjm->cjm", oh, AtA)  # one-hot matmul → (C,6,6)
+        g = jnp.einsum("lkc,lkj->cj", oh, Ar)  # (C,6)
     V = jnp.sum(ba._outer_rows(Bw, B), axis=1)  # sum over K → (L,3,3)
     W = ba._outer_rows(Aw, B)  # (L,K,6,3)
-    Ar = A[..., 0, :] * rw[..., 0, None] + A[..., 1, :] * rw[..., 1, None]  # (L,K,6)
-    g = jnp.einsum("lkc,lkj->cj", oh, Ar)  # (C,6)
     h = jnp.sum(
         B[..., 0, :] * rw[..., 0, None] + B[..., 1, :] * rw[..., 1, None], axis=1
     )  # (L,3)
@@ -515,6 +524,13 @@ class DenseBAConfig:
     # (precision controls TPU bf16 pass count), so the f64 oracle tests
     # are unaffected.
     schur_precision: str = "default"
+    # matmul pass count for the one-hot U/g Gauss-Newton contractions (r5):
+    # the library-wide 'highest' made gn_blocks 14.07 of the 23 ms outer
+    # step; 'default' (1 bf16 pass) measures 2.45 ms with ~1e-4 relative
+    # U/g perturbation — the same GN-step-only trade as schur_precision
+    # (benchmarks/gn_blocks_ab.py; release note in docs/PARITY.md). Set
+    # 'highest' to restore bit-level r4 behavior.
+    gn_precision: str = "default"
     # optional noise-floor stopping (mirrors LMConfig.rel_cost_tol); 0 = off
     rel_cost_tol: float = 0.0
 
@@ -533,7 +549,9 @@ def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis
     C = cams.shape[0]
 
     r, A, B = _linearize_grouped(cams, pts, intr, grouped)
-    U, V, W, g, h = _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name)
+    U, V, W, g, h = _gn_blocks_grouped(
+        grouped, r, A, B, C, loss, axis_name, precision=config.gn_precision
+    )
     y0 = jnp.sum(r * r)
     v_diag_max = jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1)))
     if axis_name is not None:

@@ -465,7 +465,11 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
     # large Kq; sizing by S alone would cost S·Kq·20 B of HBM regardless of Q)
     C_max = int(max_cells) if max_cells is not None else min(S, Q)
     # cells per while-loop chunk: bound the live (CC, Kq, k³·K) distance
-    # block to ~32 MB of f32
+    # block to ~32 MB of f32. Measured r5: this cap is near-optimal — at
+    # 128 MB the 32k query regresses 10 → 40 ms (the d2 block spills to
+    # multi-pass HBM traffic), and the 1M query is unchanged because its
+    # distance stage is VPU-compute-bound on the padded block, not
+    # loop-bound (benchmarks/grid_descriptor_budget.py; PERF.md r5).
     CC = max(8, min(1024, (1 << 23) // max(Kq * n_off * K, 1)))
     C_pad = -(-C_max // CC) * CC
 
@@ -515,6 +519,17 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
     r2 = (rings * grid.cell_size) ** 2
 
     def fast(_):
+        # merged candidate table (r5): coords and index in ONE (S, K, 4)
+        # row, so the ring gather issues n_cells·k³ descriptors instead of
+        # 2× that (coords + idx separately). Descriptors are the measured
+        # bottleneck resource (~60 M rows/s on v5e, PERF.md finding 7);
+        # the one-time sequential concat write is HBM-bandwidth-cheap.
+        # float transport of idx is exact below 2²⁴ — gated in `ok`.
+        aug = jnp.concatenate(
+            [grid.table_pts, grid.table_idx[..., None].astype(jnp.float32)],
+            axis=-1,
+        )  # (S, K, 4)
+
         def body(c):
             i, obuf = c
             c0 = i * CC
@@ -525,8 +540,9 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
             cells = jnp.floor(qc[:, 0, :] / grid.cell_size).astype(jnp.int32)
             nbr = cells[:, None, :] + offsets[None, :, :]  # (CC, k³, 3)
             slots = _hash_cells_jnp(nbr, S)  # (CC, k³)
-            cand = grid.table_pts[slots]  # (CC, k³, K, 3) — ONE gather per cell
-            cand_idx = grid.table_idx[slots]  # (CC, k³, K) — row-amortized
+            cand4 = aug[slots]  # (CC, k³, K, 4) — ONE gather per cell·ring
+            cand = cand4[..., :3]
+            cand_idx = cand4[..., 3]  # float-transported point index
             # structure-of-arrays distances (see _query_major): all ops on
             # (CC, Kq, k³·K) with the candidate axis minor for full lanes
             cf = cand.reshape(CC, n_off * K, 3)
@@ -547,11 +563,11 @@ def _grid_nn_jit(query, grid, rings, chunk, mode, query_capacity, max_cells):
                 jnp.where(
                     d2 == bd2[..., None],
                     cand_idx.reshape(CC, 1, n_off * K),
-                    jnp.iinfo(jnp.int32).max,
+                    jnp.inf,  # float sentinel: idx rides as an exact float
                 ),
                 axis=-1,
             )
-            idx_win = jnp.where(jnp.isfinite(bd2), idx_win, -1)
+            idx_win = jnp.where(jnp.isfinite(bd2), idx_win, -1.0)
             # pack (d², float(idx)) into one 2-lane buffer: the epilogue
             # then pays ONE row-gather + ONE row-scatter instead of two
             # each; float transport is exact below 2²⁴ (gated in `ok`)

