@@ -1,0 +1,201 @@
+"""Pallas S-build experiment (r5): VMEM-resident (6C)² accumulator.
+
+The XLA S build (ba_dense._build_schur) materializes the A2 camera-
+incidence panels (~720 MB/step) and round-trips the (6C)² f32 accumulator
+through HBM every scan chunk (~1.1 GB) — measured 7.4 ms of the 16.8 ms
+outer step at O=500k, C=200 vs a 2.2 ms pure-matmul floor. This kernel
+keeps S in VMEM scratch across the (sequential) grid, builds each chunk's
+A2 panel ON-CHIP (iota-compare one-hot × G via a batched MXU dot), and
+syrk-accumulates — HBM traffic drops to one G stream (~90 MB).
+
+VMEM: acc (6C,6C) f32 5.76 MB + A2 (3·CB, 6C) bf16 0.9 MB + G block
+0.25 MB + one-hot 1.25 MB ≈ 9 MB of the 16 MB/core.
+
+Run on TPU: python -m benchmarks.schur_pallas_ab
+"""
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from moptimizer_0_tpu import ba, ba_dense
+
+CB = 128  # landmarks per grid step
+
+
+def _schur_corr_kernel(g_ref, ck_ref, o_ref, acc_ref):
+    """One grid step: acc += A2ᵀA2 for this landmark chunk.
+
+    g_ref: (CB, K, 3, 6) f32 — G transposed to (m, i) minor order, padding
+      slots already zeroed (mask folded into G outside).
+    ck_ref: (CB, K) int32 camera ids (padding slots may hold any id —
+      their G rows are zero).
+    o_ref: (6C, 6C) f32 output (written on the last step).
+    acc_ref: (6C, 6C) f32 VMEM scratch, persists across the grid.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    C6 = acc_ref.shape[0]
+    C = C6 // 6
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[:]  # (CB, K, 3, 6)
+    K = g.shape[1]
+    # one-hot (CB, K, C) from iota compare — built on-chip, never in HBM
+    cam = ck_ref[:]  # (CB, K) int32
+    oh = (
+        cam[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    ).astype(jnp.bfloat16)
+    # A2[q, (m i), c] = Σ_k G[q, k, m, i] · oh[q, k, c]
+    lhs = g.reshape(CB, K, 18).astype(jnp.bfloat16)
+    a2 = jax.lax.dot_general(
+        lhs, oh,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # contract k, batch q
+        preferred_element_type=jnp.float32,
+    )  # (CB, 18, C)
+    # rows (q, m), cols (i, c): 18 = (m major, i minor) by construction
+    a2 = a2.reshape(CB, 3, 6, C).reshape(CB * 3, 6 * C).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        a2, a2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def build_schur_pallas(U_d, Linv, W, cam_ids, mask, fixed_mask, C):
+    """S = blockdiag(U') − Σ A2ᵀA2 with the correction sum in one Pallas
+    kernel. Same permuted component-major ordering as ba_dense._build_schur.
+    """
+    L, K = cam_ids.shape
+    dtype = U_d.dtype
+    # G_lk = W_lk @ Linv_lᵀ, transposed to (m, i) minor, mask folded in
+    G = jnp.sum(W[:, :, :, None, :] * Linv[:, None, None, :, :], axis=-1)
+    G = G * mask[..., None, None].astype(dtype)
+    G = G.transpose(0, 1, 3, 2)  # (L, K, 3, 6) — (m major, i minor)
+    n_chunks = -(-L // CB)
+    pad = n_chunks * CB - L
+    if pad:
+        G = jnp.pad(G, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        cam_ids = jnp.pad(cam_ids, ((0, pad), (0, 0)))
+    S_corr = pl.pallas_call(
+        _schur_corr_kernel,
+        out_shape=jax.ShapeDtypeStruct((6 * C, 6 * C), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((CB, K, 3, 6), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((6 * C, 6 * C), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((6 * C, 6 * C), jnp.float32)],
+    )(G, cam_ids.astype(jnp.int32))
+
+    S = -S_corr.astype(dtype)
+    cidx = jnp.arange(C, dtype=jnp.int32)
+    i6 = C * jnp.arange(6, dtype=jnp.int32)
+    rows = (cidx[:, None, None] + i6[None, :, None] + jnp.zeros((1, 1, 6), jnp.int32)).reshape(-1)
+    cols = (cidx[:, None, None] + jnp.zeros((1, 6, 1), jnp.int32) + i6[None, None, :]).reshape(-1)
+    S = S.at[rows, cols].add(U_d.reshape(-1))
+    free = jnp.tile(fixed_mask, 6)
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    return S
+
+
+def slope(name, body, init, reps=3, k1=1, k2=5):
+    def make(K):
+        @jax.jit
+        def run(c):
+            def step(c, _):
+                c2, probe = body(c)
+                return c2, probe
+
+            c, probes = jax.lax.scan(step, c, None, length=K)
+            return probes[-1]
+
+        return run
+
+    f1, f2 = make(k1), make(k2)
+    np.asarray(f1(init)); np.asarray(f2(init))
+    t1 = t2 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); np.asarray(f1(init)); t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(f2(init)); t2 = min(t2, time.perf_counter() - t0)
+    dt = (t2 - t1) / (k2 - k1)
+    print(f"{name:50s} {dt*1e3:9.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    import bench as top_bench
+
+    O, C, L = 500_000, 200, 50_000
+    print(f"devices: {jax.devices()}  O={O} C={C} L={L}", flush=True)
+    prob = top_bench._make_ba_problem(O, C, L, jnp)
+    grouped = ba_dense.group_by_landmark(prob)
+    cams, pts, intr = prob.camera_params, prob.points, prob.intrinsics
+    dtype = cams.dtype
+    lam = jnp.asarray(1e-6, dtype)
+    fixed = (jnp.arange(C) >= prob.n_fixed_cameras).astype(dtype)
+    eps = jnp.asarray(1e-30, dtype)
+
+    r, A, B = jax.jit(
+        lambda c, p: ba_dense._linearize_grouped(c, p, intr, grouped)
+    )(cams, pts)
+    U, V, W, g, h = jax.jit(
+        lambda r: ba_dense._gn_blocks_grouped(grouped, r, A, B, C, None)
+    )(r)
+    V_d = ba._damp_blocks(V, lam) + 1e-12 * jnp.eye(3, dtype=dtype)
+    Linv = jax.jit(lambda V: ba_dense._tri_inv_lower(ba_dense._chol3x3(V)))(V_d)
+
+    def xla_body(c):
+        S = ba_dense._build_schur(
+            ba._damp_blocks(c, lam), Linv, W, grouped, fixed,
+            chunk=512, precision="default",
+        )
+        p = jnp.sum(S[0])
+        return c + eps * p, p
+
+    t_xla = slope("XLA build_schur (current)", xla_body, U)
+
+    def pallas_body(c):
+        S = build_schur_pallas(
+            ba._damp_blocks(c, lam), Linv, W, grouped.cam_ids, grouped.mask,
+            fixed, C,
+        )
+        p = jnp.sum(S[0])
+        return c + eps * p, p
+
+    t_pl = slope("Pallas build_schur (VMEM acc)", pallas_body, U)
+
+    S0 = jax.jit(
+        lambda U: ba_dense._build_schur(
+            ba._damp_blocks(U, lam), Linv, W, grouped, fixed, chunk=512,
+            precision="default",
+        )
+    )(U)
+    S1 = build_schur_pallas(
+        ba._damp_blocks(U, lam), Linv, W, grouped.cam_ids, grouped.mask,
+        fixed, C,
+    )
+    ds = float(jnp.max(jnp.abs(S1 - S0)) / jnp.max(jnp.abs(S0)))
+    print(f"\nagreement vs XLA default: max rel {ds:.2e}")
+    print(f"speedup: {t_xla / t_pl:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
