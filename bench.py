@@ -206,23 +206,30 @@ def _time_ba_outer_iter(jax, jnp, O=500_000, C=200, L=50_000):
     from moptimizer_0_tpu import ba_dense
 
     prob = _make_ba_problem(O, C, L, jnp)
-    grouped = ba_dense.group_by_landmark(prob)
+    grouped = ba_dense.group_by_landmark(prob, segments="auto")
     config = ba_dense.DenseBAConfig()
 
     def make(K):
         @jax.jit
         def run_k(prob, grouped):
+            # landmark state stays in grid-row order across the chained
+            # steps (sorted once here, like _solve_dense_device) so the
+            # valence-segmented grid costs zero per-iteration gathers
             def body(carry, _):
                 cams, pts, lam = carry
-                p = dataclasses.replace(prob, camera_params=cams, points=pts)
-                cams, pts, lam, _, _, rec = ba_dense.ba_step_dense.__wrapped__(
-                    p, grouped, lam, config
+                cams, pts, lam, _, _, rec = ba_dense._dense_outer_step(
+                    cams, pts, prob.intrinsics, grouped, prob.loss,
+                    prob.n_fixed_cameras, lam, config,
                 )
                 return (cams, pts, lam), rec["cost"]
 
             (cams, _, _), costs = jax.lax.scan(
                 body,
-                (prob.camera_params, prob.points, jnp.asarray(-1.0, prob.points.dtype)),
+                (
+                    prob.camera_params,
+                    grouped.sort_points(prob.points),
+                    jnp.asarray(-1.0, prob.points.dtype),
+                ),
                 None,
                 length=K,
             )

@@ -9,9 +9,14 @@ jitted lax.scan (a negligible epsilon feedback keeps XLA from collapsing
 the chain), and (t_K2 − t_K1)/(K2 − K1) cancels the fixed costs. Records
 the per-stage truth for docs/PERF.md.
 
+r5: measures the valence-segmented layout (group_by_landmark(segments=
+"auto") — the headline path). Pass --flat to budget the historical
+single-K grid instead.
+
 Run on TPU: python -m benchmarks.ba_dense_stages_slope
 """
 
+import sys
 import time
 
 import numpy as np
@@ -57,25 +62,36 @@ def main():
     import bench as top_bench  # repo-root bench.py problem factory
 
     O, C, L = 500_000, 200, 50_000
+    segments = 1 if "--flat" in sys.argv else "auto"
     print(f"devices: {jax.devices()}  O={O} C={C} L={L}", flush=True)
     prob = top_bench._make_ba_problem(O, C, L, jnp)
-    grouped = ba_dense.group_by_landmark(prob)
+    grouped = ba_dense.group_by_landmark(prob, segments=segments)
     K = grouped.cam_ids.shape[1]
-    print(f"grid: L={L} K={K} padding={L*K/O:.2f}", flush=True)
+    slot_work = sum(
+        (e - s) * k
+        for (s, _), (e, k) in zip(
+            [(0, 0)] + list(grouped.seg_bounds), grouped.seg_bounds
+        )
+    ) if grouped.seg_bounds else L * K
+    print(
+        f"grid: L={L} K={K} segs={grouped.seg_bounds or '(single)'} "
+        f"slot-work={slot_work} ({slot_work/(L*K):.2f}x of single-K, "
+        f"{slot_work/O:.2f}x of O)",
+        flush=True,
+    )
     config = ba_dense.DenseBAConfig()
 
-    cams, pts, intr = prob.camera_params, prob.points, prob.intrinsics
+    cams, intr = prob.camera_params, prob.intrinsics
+    pts = grouped.sort_points(prob.points)
     dtype = cams.dtype
     lam = jnp.asarray(1e-6, dtype)
     fixed = (jnp.arange(C) >= prob.n_fixed_cameras).astype(dtype)
     eps = jnp.asarray(1e-30, dtype)
+    segs = ba_dense._seg_views(grouped)
 
-    r, A, B = jax.jit(
-        lambda c, p: ba_dense._linearize_grouped(c, p, intr, grouped)
+    U, V, W, g, h, _ = jax.jit(
+        lambda c, p: ba_dense._linearize_and_blocks(c, p, intr, grouped, None)
     )(cams, pts)
-    U, V, W, g, h = jax.jit(
-        lambda r, A, B: ba_dense._gn_blocks_grouped(grouped, r, A, B, C, None)
-    )(r, A, B)
     V_d = ba._damp_blocks(V, lam) + 1e-12 * jnp.eye(3, dtype=dtype)
     Linv = jax.jit(
         lambda V: ba_dense._tri_inv_lower(ba_dense._chol3x3(V))
@@ -86,24 +102,41 @@ def main():
             chunk=config.schur_chunk, precision=config.schur_precision,
         )
     )(U, Linv, W)
+    # per-segment (r, A, B) for the gn-blocks-only stage
+    rab = [
+        jax.jit(
+            lambda c, p, seg=seg, sl=sl: ba_dense._linearize_grouped(
+                c, p[sl], intr, seg
+            )
+        )(cams, pts)
+        for sl, seg in segs
+    ]
 
     total = {}
 
     def lin_body(c):
         cams_c, pts_c = c
-        r, A, B = ba_dense._linearize_grouped(cams_c, pts_c, intr, grouped)
-        probe = jnp.sum(r[0]) + jnp.sum(A[0, 0]) + jnp.sum(B[0, 0])
+        probe = eps * 0.0
+        for sl, seg in segs:
+            r, A, B = ba_dense._linearize_grouped(cams_c, pts_c[sl], intr, seg)
+            probe = probe + jnp.sum(r[0]) + jnp.sum(A[0, 0]) + jnp.sum(B[0, 0])
         return (cams_c + eps * probe, pts_c), probe
 
     total["linearize"] = slope("linearize_grouped (r, A, B)", lin_body, (cams, pts))
 
     def gn_body(c):
-        r_c = c
-        U, V, W, g, h = ba_dense._gn_blocks_grouped(grouped, r_c, A, B, C, None)
-        probe = jnp.sum(g) + jnp.sum(h) + jnp.sum(U[0]) + jnp.sum(W[0, 0])
-        return r_c + eps * probe, probe
+        scale = c
+        probe = eps * 0.0
+        for (sl, seg), (r, A, B) in zip(segs, rab):
+            U, V, W, g, h = ba_dense._gn_blocks_grouped(
+                seg, r * scale, A, B, C, None
+            )
+            probe = probe + jnp.sum(g) + jnp.sum(h) + jnp.sum(U[0]) + jnp.sum(W[0, 0])
+        return scale + eps * probe, probe
 
-    total["gn_blocks"] = slope("gn_blocks (U, V, W, g, h)", gn_body, r)
+    total["gn_blocks"] = slope(
+        "gn_blocks (U, V, W, g, h)", gn_body, jnp.ones((), dtype)
+    )
 
     def vinv_body(c):
         V_c = c
@@ -140,10 +173,13 @@ def main():
         # back-substitution alone: recover δl from δc (the tail of
         # _solve_delta_dense after the camera solve)
         d_cam = ba_dense.block_cholesky.spd_solve(S, g_c.reshape(-1), "xla").reshape(C, 6)
-        oh = jax.nn.one_hot(grouped.cam_ids, C, dtype=dtype)
-        dc_g = jnp.einsum("lkc,ci->lki", oh, d_cam)
-        Wtd = jnp.sum(W * dc_g[..., :, None], axis=(1, 2))
         Vinv = jnp.einsum("lji,ljk->lik", Linv, Linv)
+        Wtd_l = []
+        for (sl, seg), W_s in zip(segs, W):
+            oh = jax.nn.one_hot(seg.cam_ids, C, dtype=dtype)
+            dc_g = jnp.einsum("lkc,ci->lki", oh, d_cam)
+            Wtd_l.append(jnp.sum(W_s * dc_g[..., :, None], axis=(1, 2)))
+        Wtd = jnp.concatenate(Wtd_l, axis=0) if len(Wtd_l) > 1 else Wtd_l[0]
         d_pt = jnp.sum(Vinv * (-h - Wtd)[:, None, :], axis=-1)
         probe = jnp.sum(d_pt)
         return g_c + eps * probe, probe
@@ -159,13 +195,11 @@ def main():
 
     total["cost"] = slope("cost_grouped", cost_body, cams)
 
-    import dataclasses
-
     def step_body(c):
         cams_c, pts_c, lam_c = c
-        p = dataclasses.replace(prob, camera_params=cams_c, points=pts_c)
-        cams2, pts2, lam2, _, _, rec = ba_dense.ba_step_dense.__wrapped__(
-            p, grouped, lam_c, config
+        cams2, pts2, lam2, _, _, rec = ba_dense._dense_outer_step(
+            cams_c, pts_c, intr, grouped, prob.loss, prob.n_fixed_cameras,
+            lam_c, config,
         )
         return (cams2, pts2, lam2), rec["cost"]
 

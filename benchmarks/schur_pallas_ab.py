@@ -1,15 +1,21 @@
 """Pallas S-build experiment (r5): VMEM-resident (6C)² accumulator.
 
-The XLA S build (ba_dense._build_schur) materializes the A2 camera-
-incidence panels (~720 MB/step) and round-trips the (6C)² f32 accumulator
-through HBM every scan chunk (~1.1 GB) — measured 7.4 ms of the 16.8 ms
-outer step at O=500k, C=200 vs a 2.2 ms pure-matmul floor. This kernel
-keeps S in VMEM scratch across the (sequential) grid, builds each chunk's
-A2 panel ON-CHIP (iota-compare one-hot × G via a batched MXU dot), and
-syrk-accumulates — HBM traffic drops to one G stream (~90 MB).
+The XLA S build (ba_dense._build_schur) round-trips the (6C)² f32
+accumulator through HBM every scan chunk (~1.1 GB/step at the headline
+shape) and streams the A2 camera-incidence panels at f32 (~1.4 GB) —
+measured 7.4 ms of the 16.8 ms outer step at O=500k, C=200 vs a 2.2 ms
+pure-matmul floor. This experiment splits the build:
 
-VMEM: acc (6C,6C) f32 5.76 MB + A2 (3·CB, 6C) bf16 0.9 MB + G block
-0.25 MB + one-hot 1.25 MB ≈ 9 MB of the 16 MB/core.
+* XLA computes the full A2 panel stack ONCE in bf16 (the one-hot fold is
+  a batched tiny-contraction matmul XLA already schedules well; a fully
+  fused Mosaic version is blocked on `tpu.reshape` of minor dims —
+  docs/PERF.md finding "Mosaic cannot lower tangent-axis reshapes");
+* a Pallas syrk kernel accumulates S += A2ᵀA2 chunk-by-chunk with the
+  accumulator resident in VMEM scratch across the grid — the S HBM
+  round-trip disappears and the panel stream halves (bf16).
+
+VMEM at CB=256: acc (1200,1200) f32 5.76 MB + (768, 1200) bf16 panel
+blocks ≈ 1.8 MB (double-buffered) ≈ 9.5 MB of the 16 MB/core.
 
 Run on TPU: python -m benchmarks.schur_pallas_ab
 """
@@ -26,44 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from moptimizer_0_tpu import ba, ba_dense
 
-CB = 128  # landmarks per grid step
+CB = 256  # landmarks per grid step
 
 
-def _schur_corr_kernel(g_ref, ck_ref, o_ref, acc_ref):
-    """One grid step: acc += A2ᵀA2 for this landmark chunk.
-
-    g_ref: (CB, K, 3, 6) f32 — G transposed to (m, i) minor order, padding
-      slots already zeroed (mask folded into G outside).
-    ck_ref: (CB, K) int32 camera ids (padding slots may hold any id —
-      their G rows are zero).
-    o_ref: (6C, 6C) f32 output (written on the last step).
-    acc_ref: (6C, 6C) f32 VMEM scratch, persists across the grid.
-    """
+def _syrk_kernel(a2_ref, o_ref, acc_ref):
+    """acc += A2ᵀ A2 for one panel block; write out on the last step."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    C6 = acc_ref.shape[0]
-    C = C6 // 6
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    g = g_ref[:]  # (CB, K, 3, 6)
-    K = g.shape[1]
-    # one-hot (CB, K, C) from iota compare — built on-chip, never in HBM
-    cam = ck_ref[:]  # (CB, K) int32
-    oh = (
-        cam[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
-    ).astype(jnp.bfloat16)
-    # A2[q, (m i), c] = Σ_k G[q, k, m, i] · oh[q, k, c]
-    lhs = g.reshape(CB, K, 18).astype(jnp.bfloat16)
-    a2 = jax.lax.dot_general(
-        lhs, oh,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # contract k, batch q
-        preferred_element_type=jnp.float32,
-    )  # (CB, 18, C)
-    # rows (q, m), cols (i, c): 18 = (m major, i minor) by construction
-    a2 = a2.reshape(CB, 3, 6, C).reshape(CB * 3, 6 * C).astype(jnp.bfloat16)
+    a2 = a2_ref[:]  # (3·CB, 6C) bf16
     acc_ref[:] += jax.lax.dot_general(
         a2, a2,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -77,33 +58,41 @@ def _schur_corr_kernel(g_ref, ck_ref, o_ref, acc_ref):
 
 @functools.partial(jax.jit, static_argnames=("C",))
 def build_schur_pallas(U_d, Linv, W, cam_ids, mask, fixed_mask, C):
-    """S = blockdiag(U') − Σ A2ᵀA2 with the correction sum in one Pallas
+    """S = blockdiag(U') − syrk(A2) with the correction sum in one Pallas
     kernel. Same permuted component-major ordering as ba_dense._build_schur.
     """
     L, K = cam_ids.shape
     dtype = U_d.dtype
-    # G_lk = W_lk @ Linv_lᵀ, transposed to (m, i) minor, mask folded in
-    G = jnp.sum(W[:, :, :, None, :] * Linv[:, None, None, :, :], axis=-1)
-    G = G * mask[..., None, None].astype(dtype)
-    G = G.transpose(0, 1, 3, 2)  # (L, K, 3, 6) — (m major, i minor)
     n_chunks = -(-L // CB)
     pad = n_chunks * CB - L
+
+    # G_lk = W_lk @ Linv_lᵀ (mask folded), one-hot panel fold in XLA, bf16
+    G = jnp.sum(W[:, :, :, None, :] * Linv[:, None, None, :, :], axis=-1)
+    G = G * mask[..., None, None].astype(dtype)
+    oh = (
+        cam_ids[..., None] == jnp.arange(C, dtype=cam_ids.dtype)
+    ).astype(jnp.bfloat16)
+    with jax.default_matmul_precision("default"):
+        A2 = jnp.einsum(
+            "lkim,lkc->lmic", G.astype(jnp.bfloat16), oh,
+            preferred_element_type=jnp.bfloat16,
+        )
+    A2 = A2.reshape(L * 3, 6 * C)
     if pad:
-        G = jnp.pad(G, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        cam_ids = jnp.pad(cam_ids, ((0, pad), (0, 0)))
+        A2 = jnp.pad(A2, ((0, 3 * pad), (0, 0)))
+
     S_corr = pl.pallas_call(
-        _schur_corr_kernel,
+        _syrk_kernel,
         out_shape=jax.ShapeDtypeStruct((6 * C, 6 * C), jnp.float32),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((CB, K, 3, 6), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((3 * CB, 6 * C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((6 * C, 6 * C), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((6 * C, 6 * C), jnp.float32)],
-    )(G, cam_ids.astype(jnp.int32))
+    )(A2)
 
     S = -S_corr.astype(dtype)
     cidx = jnp.arange(C, dtype=jnp.int32)

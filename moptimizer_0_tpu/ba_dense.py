@@ -55,11 +55,108 @@ class GroupedBA:
     pixels:  (L, K, 2) measured projections, 0 in padding slots.
     cam_ids: (L, K) int32 camera of each slot, 0 in padding slots.
     mask:    (L, K) 1.0 for real observations, 0.0 for padding.
+
+    Optional **valence-segmented** layout (r5, `group_by_landmark(...,
+    segments=...)`): rows are sorted by observation count (descending) and
+    split into a few contiguous segments, each processed at its own slot
+    width K_s ≤ K. With uniform-random observations (counts ~ Poisson(O/L))
+    the single-K grid is ~60% padding slots, and every K-proportional
+    stage (linearization, GN blocks, the one-hot folds of the S build)
+    streams and computes that padding; 2-4 segments halve it (measured
+    savings table in docs/PERF.md). When segmented:
+
+    perm:       (L,) int32 — grid row i holds original landmark perm[i]
+    inv_perm:   (L,) int32 — argsort(perm); original landmark j is row
+                inv_perm[j]
+    seg_bounds: static tuple of (end_row, K_s) pairs, rows [prev_end,
+                end_row) processed at width K_s (K_s non-increasing)
+
+    Unsegmented grids (the default) keep perm=None / seg_bounds=() and
+    behave exactly as before.
     """
 
     pixels: jax.Array
     cam_ids: jax.Array
     mask: jax.Array
+    perm: jax.Array | None = None
+    inv_perm: jax.Array | None = None
+    seg_bounds: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    def sort_points(self, pts):
+        """Original-landmark-order array → grid-row order (rows = perm)."""
+        return pts if self.perm is None else jnp.take(pts, self.perm, axis=0)
+
+    def unsort_points(self, pts):
+        """Grid-row-order array → original landmark order."""
+        return pts if self.inv_perm is None else jnp.take(pts, self.inv_perm, axis=0)
+
+
+def _seg_views(grouped):
+    """[(row_slice, single-grid GroupedBA view)] — always ≥ 1 entry.
+
+    Views slice rows [s:e] and truncate the slot axis to the segment's
+    K_s; XLA fuses the (loop-invariant) slices into their consumers.
+    """
+    if not grouped.seg_bounds:
+        return [(slice(0, grouped.pixels.shape[0]), grouped)]
+    out = []
+    s = 0
+    for e, k in grouped.seg_bounds:
+        out.append(
+            (
+                slice(s, e),
+                GroupedBA(
+                    pixels=grouped.pixels[s:e, :k],
+                    cam_ids=grouped.cam_ids[s:e, :k],
+                    mask=grouped.mask[s:e, :k],
+                ),
+            )
+        )
+        s = e
+    return out
+
+
+def _plan_segments(counts_sorted_desc, max_segments):
+    """Choose (end_row, K_s) bounds minimizing Σ L_s·K_s (host-side).
+
+    Candidate boundaries are the rows where the sorted valence drops, so
+    the search space is ≤ K_max points; brute force over ≤ (max_segments−1)
+    of them is exact and cheap (K_max is tens)."""
+    from itertools import combinations
+
+    s = counts_sorted_desc
+    L = len(s)
+    # first row at which the count drops to each value
+    cand = sorted({int(np.searchsorted(-s, -k)) for k in range(int(s[0]), 0, -1)})
+    cand = [c for c in cand if 0 < c < L]
+
+    def cost(bounds):
+        tot, prev = 0, 0
+        for b in list(bounds) + [L]:
+            if b <= prev:
+                continue
+            tot += (b - prev) * int(s[prev])
+            prev = b
+        return tot
+
+    best_bounds, best_cost = (), cost(())
+    for n in range(1, max_segments):
+        if len(cand) < n:
+            break
+        for bs in combinations(cand, n):
+            c = cost(bs)
+            if c < best_cost:
+                best_cost, best_bounds = c, bs
+    bounds = []
+    prev = 0
+    for b in list(best_bounds) + [L]:
+        if b <= prev:
+            continue
+        bounds.append((b, int(s[prev])))
+        prev = b
+    return tuple(bounds), best_cost
 
 
 def padding_factor(problem):
@@ -99,11 +196,23 @@ def dense_memory_bytes(problem):
     return 250.0 * L * K + 8.0 * (6 * C) ** 2
 
 
-def group_by_landmark(problem):
+def group_by_landmark(problem, segments=1, max_segments=4):
     """Reorder a BAProblem's observation arrays into the (L, K) grid.
 
     Host-side numpy, run once per problem build (outside jit); K is the
     maximum number of observations of any landmark.
+
+    segments:
+      1        — exact historical layout: rows in landmark order, one K.
+      "auto"   — sort rows by valence and split into up to `max_segments`
+                 width segments when L ≥ 1024 and that trims ≥ 15% of the
+                 L·K slot work (the Poisson-valence padding tax — see
+                 GroupedBA docstring); otherwise identical to segments=1.
+      int ≥ 2  — force splitting into up to that many segments.
+
+    Segmented grids carry perm/inv_perm; the solve entry points sort the
+    landmark state in and out at the boundary (two O(L) gathers per solve),
+    so callers always see points in the problem's own order.
     """
     pt_idx = np.asarray(problem.pt_idx)
     cam_idx = np.asarray(problem.cam_idx)
@@ -113,6 +222,28 @@ def group_by_landmark(problem):
 
     counts = np.bincount(pt_idx, minlength=L)
     K = max(int(counts.max()), 1)
+
+    seg_bounds = ()
+    perm = None
+    if segments == "auto":
+        max_seg = max_segments if L >= 1024 else 1
+    else:
+        max_seg = int(segments)
+    if max_seg > 1:
+        perm = np.argsort(-counts, kind="stable").astype(np.int32)
+        srt = counts[perm]
+        seg_bounds, seg_cost = _plan_segments(srt, max_seg)
+        full = L * K
+        if len(seg_bounds) < 2 or (
+            segments == "auto" and seg_cost > 0.85 * full
+        ):
+            seg_bounds, perm = (), None
+
+    # row of each landmark in the grid
+    row_of = np.arange(L, dtype=np.int64)
+    if perm is not None:
+        row_of[perm] = np.arange(L, dtype=np.int64)
+
     order = np.argsort(pt_idx, kind="stable")
     # slot of each (sorted) observation within its landmark group
     starts = np.zeros(L + 1, dtype=np.int64)
@@ -122,7 +253,7 @@ def group_by_landmark(problem):
     grid_pix = np.zeros((L, K, 2), dtype=dtype)
     grid_cam = np.zeros((L, K), dtype=np.int32)
     grid_mask = np.zeros((L, K), dtype=dtype)
-    rows = pt_idx[order]
+    rows = row_of[pt_idx[order]]
     grid_pix[rows, slot] = pixels[order]
     grid_cam[rows, slot] = cam_idx[order]
     grid_mask[rows, slot] = 1.0
@@ -130,6 +261,11 @@ def group_by_landmark(problem):
         pixels=jnp.asarray(grid_pix),
         cam_ids=jnp.asarray(grid_cam),
         mask=jnp.asarray(grid_mask),
+        perm=None if perm is None else jnp.asarray(perm),
+        inv_perm=None if perm is None else jnp.asarray(
+            np.argsort(perm).astype(np.int32)
+        ),
+        seg_bounds=seg_bounds,
     )
 
 
@@ -249,10 +385,12 @@ def _linearize_grouped(cams, pts, intr, grouped):
 
 
 def _cost_grouped(cams, pts, intr, grouped, axis_name=None):
+    """Σ‖r‖² on the grid. Segment-aware: pts must be in grid-row order
+    (grouped.sort_points) when the grid is valence-segmented."""
     C = cams.shape[0]
     fx, fy = intr[0], intr[1]
     cx, cy = intr[2], intr[3]
-    g12 = _gather_cache(_camera_cache(cams, with_jacobian=False), grouped, C)
+    cache = _camera_cache(cams, with_jacobian=False)
 
     def res(q, p, pix):
         # unrolled R·p + t (batched tiny dots are MXU poison — see
@@ -263,9 +401,12 @@ def _cost_grouped(cams, pts, intr, grouped, axis_name=None):
         iz = 1.0 / z
         return pix - jnp.stack([fx * x * iz + cx, fy * y * iz + cy])
 
-    r = jax.vmap(jax.vmap(res, (0, None, 0)))(g12, pts, grouped.pixels)
-    r = jnp.where(grouped.mask[..., None] > 0, r, 0.0)
-    y = jnp.sum(r * r)
+    y = jnp.zeros((), cams.dtype)
+    for sl, seg in _seg_views(grouped):
+        g12 = _gather_cache(cache, seg, C)
+        r = jax.vmap(jax.vmap(res, (0, None, 0)))(g12, pts[sl], seg.pixels)
+        r = jnp.where(seg.mask[..., None] > 0, r, 0.0)
+        y = y + jnp.sum(r * r)
     if axis_name is not None:
         y = jax.lax.psum(y, axis_name)
     return y
@@ -317,6 +458,40 @@ def _gn_blocks_grouped(grouped, r, A, B, C, loss, axis_name=None,
         U = jax.lax.psum(U, axis_name)
         g = jax.lax.psum(g, axis_name)
     return U, V, W, g, h
+
+
+def _linearize_and_blocks(cams, pts, intr, grouped, loss, axis_name=None,
+                          precision="default"):
+    """Per-segment linearization + GN blocks over a (possibly segmented) grid.
+
+    Returns (U, V, W_segs, g, h, y0): U (C,6,6) and g (C,6) accumulate over
+    segments (and psum over axis_name — done once here, not per segment);
+    V (L,3,3), h (L,3) concatenate along the grid-row axis; W stays a list
+    of per-segment (L_s, K_s, 6, 3) grids (consumed by _solve_delta_dense's
+    matching segment loop). pts must be in grid-row order.
+    """
+    C = cams.shape[0]
+    segs = _seg_views(grouped)
+    U = g = y0 = None
+    V_l, W_l, h_l = [], [], []
+    for sl, seg in segs:
+        r, A, B = _linearize_grouped(cams, pts[sl], intr, seg)
+        U_s, V_s, W_s, g_s, h_s = _gn_blocks_grouped(
+            seg, r, A, B, C, loss, None, precision=precision
+        )
+        y_s = jnp.sum(r * r)
+        U = U_s if U is None else U + U_s
+        g = g_s if g is None else g + g_s
+        y0 = y_s if y0 is None else y0 + y_s
+        V_l.append(V_s)
+        W_l.append(W_s)
+        h_l.append(h_s)
+    V = V_l[0] if len(V_l) == 1 else jnp.concatenate(V_l, axis=0)
+    h = h_l[0] if len(h_l) == 1 else jnp.concatenate(h_l, axis=0)
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        g = jax.lax.psum(g, axis_name)
+    return U, V, W_l, g, h, y0
 
 
 def _chol3x3(A):
@@ -387,8 +562,12 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     partial correction sums psum over ICI — S lands replicated, so the
     (6C)² Cholesky can run identically on every device (the "replicated
     camera solve" layout of SURVEY.md §2.3).
+
+    Segment-aware (r5): when `grouped` is valence-segmented, W is the
+    per-segment list from _linearize_and_blocks and each segment scans at
+    its own slot width K_s — the one-hot fold and G stream skip the
+    padding slots the single-K layout would burn.
     """
-    L, K = grouped.cam_ids.shape
     C = U_d.shape[0]
     dtype = U_d.dtype
 
@@ -400,40 +579,49 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
     max_chunk = max(128, (1_050_000 // max(C, 1)) // 128 * 128)
     chunk = min(chunk, max_chunk)
 
-    # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3) — broadcast
-    # elementwise over the 3-wide contraction (batched tiny-dot einsum is
-    # the slow path, PERF.md finding 2)
-    G = jnp.sum(
-        W[:, :, :, None, :] * Vinv_chol[:, None, None, :, :], axis=-1
-    )
-
-    n_chunks = -(-L // chunk)
-    pad = n_chunks * chunk - L
-    if pad:
-        G = jnp.pad(G, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        cam_ids = jnp.pad(grouped.cam_ids, ((0, pad), (0, 0)))
-        mask = jnp.pad(grouped.mask, ((0, pad), (0, 0)))
-    else:
-        cam_ids, mask = grouped.cam_ids, grouped.mask
-    Gc = G.reshape(n_chunks, chunk, K, 6, 3)
-    cc = cam_ids.reshape(n_chunks, chunk, K)
-    mc = mask.reshape(n_chunks, chunk, K)
-
-    def body(S, args):
-        Gk, ck, mk = args
-        oh = (ck[..., None] == jnp.arange(C, dtype=ck.dtype)).astype(dtype)
-        oh = oh * mk[..., None]  # (chunk,K,C)
-        # permuted panel: columns indexed (i, c) with c minor/lanes — see
-        # the ordering note in the docstring
-        with jax.default_matmul_precision(precision):
-            A2 = jnp.einsum("qkim,qkc->qmic", Gk, oh).reshape(chunk * 3, 6 * C)
-            return S + A2.T @ A2, None
+    segs = _seg_views(grouped)
+    W_segs = W if isinstance(W, (list, tuple)) else [W]
 
     S0 = jnp.zeros((C * 6, C * 6), dtype)
     if axis_name is not None:
         # per-device partial sums vary over the mesh axis (shard_map VMA)
         S0 = jax.lax.pcast(S0, (axis_name,), to="varying")
-    S_corr, _ = jax.lax.scan(body, S0, (Gc, cc, mc))
+    S_corr = S0
+
+    for (sl, seg), W_s in zip(segs, W_segs):
+        L, K = seg.cam_ids.shape
+        # fold V'^{-1/2}: G_lk = W_lk @ Linv_l^T  (L,K,6,3) — broadcast
+        # elementwise over the 3-wide contraction (batched tiny-dot einsum
+        # is the slow path, PERF.md finding 2)
+        G = jnp.sum(
+            W_s[:, :, :, None, :] * Vinv_chol[sl][:, None, None, :, :],
+            axis=-1,
+        )
+
+        n_chunks = -(-L // chunk)
+        pad = n_chunks * chunk - L
+        if pad:
+            G = jnp.pad(G, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            cam_ids = jnp.pad(seg.cam_ids, ((0, pad), (0, 0)))
+            mask = jnp.pad(seg.mask, ((0, pad), (0, 0)))
+        else:
+            cam_ids, mask = seg.cam_ids, seg.mask
+        Gc = G.reshape(n_chunks, chunk, K, 6, 3)
+        cc = cam_ids.reshape(n_chunks, chunk, K)
+        mc = mask.reshape(n_chunks, chunk, K)
+
+        def body(S, args):
+            Gk, ck, mk = args
+            oh = (ck[..., None] == jnp.arange(C, dtype=ck.dtype)).astype(dtype)
+            oh = oh * mk[..., None]  # (chunk,K,C)
+            # permuted panel: columns indexed (i, c) with c minor/lanes —
+            # see the ordering note in the docstring
+            with jax.default_matmul_precision(precision):
+                A2 = jnp.einsum("qkim,qkc->qmic", Gk, oh).reshape(chunk * 3, 6 * C)
+                return S + A2.T @ A2, None
+
+        S_corr, _ = jax.lax.scan(body, S_corr, (Gc, cc, mc))
+
     if axis_name is not None:
         S_corr = jax.lax.psum(S_corr, axis_name)
 
@@ -480,11 +668,16 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
         precision=schur_precision,
     )
 
+    segs = _seg_views(grouped)
+    W_segs = W if isinstance(W, (list, tuple)) else [W]
+
     # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
     t = jnp.sum(Vinv * h[:, None, :], axis=-1)  # (L,3)
-    oh = _cam_onehot(grouped.cam_ids, grouped.mask, C, dtype)
-    Wt = jnp.sum(W * t[:, None, None, :], axis=-1)  # (L,K,6)
-    red = jnp.einsum("lkc,lki->ci", oh, Wt)  # (C,6)
+    red = jnp.zeros_like(g)
+    for (sl, seg), W_s in zip(segs, W_segs):
+        oh_s = _cam_onehot(seg.cam_ids, seg.mask, C, dtype)
+        Wt = jnp.sum(W_s * t[sl][:, None, None, :], axis=-1)  # (L_s,K_s,6)
+        red = red + jnp.einsum("lkc,lki->ci", oh_s, Wt)  # (C,6)
     if axis_name is not None:
         red = jax.lax.psum(red, axis_name)
     rhs = -(g - red)
@@ -497,8 +690,12 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
     d_cam = d_cam * fixed_mask[:, None]
 
     # back-substitute: δl = V'⁻¹ (−h − Σ_k W_lkᵀ δc[cam(l,k)])
-    dc_g = jnp.einsum("lkc,ci->lki", oh, d_cam)  # (L,K,6) gather-as-matmul
-    Wtd = jnp.sum(W * dc_g[..., :, None], axis=(1, 2))  # (L,3)
+    Wtd_l = []
+    for (sl, seg), W_s in zip(segs, W_segs):
+        oh_s = _cam_onehot(seg.cam_ids, seg.mask, C, dtype)
+        dc_g = jnp.einsum("lkc,ci->lki", oh_s, d_cam)  # gather-as-matmul
+        Wtd_l.append(jnp.sum(W_s * dc_g[..., :, None], axis=(1, 2)))  # (L_s,3)
+    Wtd = Wtd_l[0] if len(Wtd_l) == 1 else jnp.concatenate(Wtd_l, axis=0)
     d_pt = jnp.sum(Vinv * (-h - Wtd)[:, None, :], axis=-1)
     return d_cam, d_pt
 
@@ -548,11 +745,10 @@ def _dense_outer_step(cams, pts, intr, grouped, loss, n_fixed, lam, config, axis
     eps = jnp.finfo(dtype).eps
     C = cams.shape[0]
 
-    r, A, B = _linearize_grouped(cams, pts, intr, grouped)
-    U, V, W, g, h = _gn_blocks_grouped(
-        grouped, r, A, B, C, loss, axis_name, precision=config.gn_precision
+    U, V, W, g, h, y0 = _linearize_and_blocks(
+        cams, pts, intr, grouped, loss, axis_name,
+        precision=config.gn_precision,
     )
-    y0 = jnp.sum(r * r)
     v_diag_max = jnp.max(jnp.abs(jnp.diagonal(V, axis1=-2, axis2=-1)))
     if axis_name is not None:
         y0 = jax.lax.psum(y0, axis_name)
@@ -614,11 +810,15 @@ def ba_step_dense(problem, grouped, lam, config=DenseBAConfig()):
     """One outer LM iteration of the dense-Schur engine.
 
     Same contract as ba.ba_step: returns (cams, pts, λ', terminal, status,
-    record)."""
-    return _dense_outer_step(
-        problem.camera_params, problem.points, problem.intrinsics, grouped,
-        problem.loss, problem.n_fixed_cameras, lam, config,
+    record). With a valence-segmented grid the landmark state is permuted
+    into grid-row order and back per call (two O(L) gathers); the full-solve
+    entry points sort once around the whole loop instead."""
+    cams, pts, lam, terminal, status, record = _dense_outer_step(
+        problem.camera_params, grouped.sort_points(problem.points),
+        problem.intrinsics, grouped, problem.loss, problem.n_fixed_cameras,
+        lam, config,
     )
+    return cams, grouped.unsort_points(pts), lam, terminal, status, record
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -634,7 +834,7 @@ def _solve_dense_device(problem, grouped, config=DenseBAConfig()):
     )
     carry0 = dict(
         cams=problem.camera_params,
-        pts=problem.points,
+        pts=grouped.sort_points(problem.points),  # grid-row order inside
         lam=jnp.asarray(-1.0, dtype),
         it=jnp.zeros((), jnp.int32),
         status=jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32),
@@ -646,11 +846,9 @@ def _solve_dense_device(problem, grouped, config=DenseBAConfig()):
         return (c["it"] < n_it) & ~c["done"]
 
     def body(c):
-        prob = dataclasses.replace(
-            problem, camera_params=c["cams"], points=c["pts"]
-        )
-        cams, pts, lam, terminal, status, record = ba_step_dense.__wrapped__(
-            prob, grouped, c["lam"], config
+        cams, pts, lam, terminal, status, record = _dense_outer_step(
+            c["cams"], c["pts"], problem.intrinsics, grouped,
+            problem.loss, problem.n_fixed_cameras, c["lam"], config,
         )
         trace = {k: v.at[c["it"]].set(record[k]) for k, v in c["trace"].items()}
         return dict(
@@ -666,7 +864,7 @@ def _solve_dense_device(problem, grouped, config=DenseBAConfig()):
     c = jax.lax.while_loop(cond, body, carry0)
     return ba.BAResult(
         camera_params=c["cams"],
-        points=c["pts"],
+        points=grouped.unsort_points(c["pts"]),
         status=c["status"],
         iterations=c["it"],
         cost=_cost_grouped(
@@ -692,7 +890,7 @@ def solve_ba_dense(problem, config=DenseBAConfig(), grouped=None, host_loop=Fals
     benchmarks/ba_engines_ab.py ceiling run, docs/PERF.md).
     """
     if grouped is None:
-        grouped = group_by_landmark(problem)
+        grouped = group_by_landmark(problem, segments="auto")
     if host_loop:
         return _solve_dense_host(problem, grouped, config)
     return _solve_dense_device(problem, grouped, config)
@@ -729,7 +927,8 @@ def _solve_dense_host(problem, grouped, config):
         status=status,
         iterations=jnp.asarray(executed, jnp.int32),
         cost=_cost_grouped(
-            problem.camera_params, problem.points, problem.intrinsics, grouped
+            problem.camera_params, grouped.sort_points(problem.points),
+            problem.intrinsics, grouped,
         ),
         trace=trace,
     )
@@ -820,6 +1019,16 @@ def solve_ba_dense_sharded(problem, mesh, config=DenseBAConfig(), axis="data", g
     L = problem.points.shape[0]
     if grouped is None:
         grouped = group_by_landmark(problem)
+    if grouped.seg_bounds:
+        # valence segments don't align with shard boundaries — flatten the
+        # grid back to landmark order / single K for the sharded path (the
+        # per-shard L is modest; the padding tax matters at single-chip
+        # headline scale, where solve_ba_dense's segmented path applies)
+        grouped = GroupedBA(
+            pixels=jnp.take(grouped.pixels, grouped.inv_perm, axis=0),
+            cam_ids=jnp.take(grouped.cam_ids, grouped.inv_perm, axis=0),
+            mask=jnp.take(grouped.mask, grouped.inv_perm, axis=0),
+        )
 
     # pad the landmark axis to a shard multiple; padding rows have mask 0
     # everywhere, V'=1e-12·I (regularizer) and h=0, so δpt_pad ≡ 0.
