@@ -35,25 +35,26 @@ from moptimizer_0_tpu import ba, ba_dense
 CB = 256  # landmarks per grid step
 
 
-def _syrk_kernel(a2_ref, o_ref, acc_ref):
-    """acc += A2ᵀ A2 for one panel block; write out on the last step."""
+def _syrk_kernel(a2_ref, o_ref):
+    """o += A2ᵀ A2 for one panel block.
+
+    The OUTPUT is the accumulator: its index_map is constant over the
+    grid, so Mosaic keeps the (6C)² f32 block resident in VMEM across all
+    steps and writes HBM once at the end (a separate VMEM scratch
+    accumulator trips a Mosaic matmul-lowering bug — "Bad lhs type").
+    """
     i = pl.program_id(0)
-    n = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        o_ref[:] = jnp.zeros_like(o_ref)
 
     a2 = a2_ref[:]  # (3·CB, 6C) bf16
-    acc_ref[:] += jax.lax.dot_general(
+    o_ref[:] += jax.lax.dot_general(
         a2, a2,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-    @pl.when(i == n - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("C",))
@@ -91,7 +92,6 @@ def build_schur_pallas(U_d, Linv, W, cam_ids, mask, fixed_mask, C):
         ],
         out_specs=pl.BlockSpec((6 * C, 6 * C), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((6 * C, 6 * C), jnp.float32)],
     )(A2)
 
     S = -S_corr.astype(dtype)

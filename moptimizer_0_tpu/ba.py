@@ -523,13 +523,19 @@ DENSE_MAX_BYTES = 9e9
 
 
 def select_engine(problem):
-    """engine="auto" routing decision (host-side, cheap). See solve_ba."""
+    """engine="auto" routing decision (host-side, cheap). See solve_ba.
+
+    Routes on the SEGMENTED slot factor (ba_dense.dense_slot_factor, r5):
+    solve_ba_dense's valence-segmented default means a hub landmark only
+    inflates its own segment, so skewed problems that exceeded the
+    single-K padding bound stay dense-eligible when segmentation applies
+    (L ≥ 1024 — below that the historical (L·K)/O bound is what runs)."""
     from moptimizer_0_tpu import ba_dense
 
     C = problem.camera_params.shape[0]
     if (
         C <= DENSE_MAX_CAMERAS
-        and ba_dense.padding_factor(problem) <= DENSE_MAX_PADDING
+        and ba_dense.dense_slot_factor(problem) <= DENSE_MAX_PADDING
         and ba_dense.dense_memory_bytes(problem) <= DENSE_MAX_BYTES
     ):
         return "dense"

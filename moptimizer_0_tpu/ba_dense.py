@@ -173,27 +173,57 @@ def padding_factor(problem):
     return L * K / O
 
 
+def _auto_slot_work(problem, max_segments=4):
+    """(slot_work, L, K) under the segments="auto" policy solve_ba_dense
+    applies: the Σ L_s·K_s the valence-segmented grid actually streams, or
+    L·K when the policy keeps the single-K layout (host-side, one bincount
+    + a tiny boundary search)."""
+    pt_idx = np.asarray(problem.pt_idx)
+    L = problem.points.shape[0]
+    counts = np.bincount(pt_idx, minlength=L)
+    K = max(int(counts.max()), 1)
+    full = L * K
+    if L < 1024:
+        return full, L, K
+    srt = counts[np.argsort(-counts, kind="stable")]
+    bounds, cost = _plan_segments(srt, max_segments)
+    if len(bounds) < 2 or cost > 0.85 * full:
+        return full, L, K
+    return cost, L, K
+
+
+def dense_slot_factor(problem):
+    """slot_work/O of the dense engine under its segments="auto" default.
+
+    The segmentation-aware replacement for `padding_factor` in routing:
+    a single hub landmark observed by every camera inflates the single-K
+    grid to (L·K)/O but only its own (tiny) segment here, so skewed
+    problems that used to force the CG engine stay dense-eligible
+    (`ba.select_engine`)."""
+    slot_work, _, _ = _auto_slot_work(problem)
+    return slot_work / max(len(np.asarray(problem.pt_idx)), 1)
+
+
 def dense_memory_bytes(problem):
     """Rough peak-HBM estimate (bytes, f32) of the dense engine on `problem`.
 
     Host-side, shapes only (one bincount — same cost class as
     padding_factor). Two terms dominate:
 
-    * the (L, K) grid and its linearization products — per slot: pixels 8,
-      cam_ids 4, mask 4, camera cache g21 84, r 8, A 48, B 24, W=AᵀB 72
-      ≈ 250 B/slot (XLA temps for the chunked S build are bounded by the
-      chunk size, not L·K);
+    * the (L, K) grid and its linearization products — per STREAMED slot
+      (Σ L_s·K_s under the auto segmentation policy): camera cache g21 84,
+      r 8, A 48, B 24, W=AᵀB 72 ≈ 234 B; plus the stored grid itself
+      (pixels 8 + cam_ids 4 + mask 4 = 16 B on all L·K slots — storage
+      keeps the single padded array; only the compute views truncate);
     * the replicated camera system — S (6C)² plus its Cholesky factor.
 
     `ba.select_engine` routes to the CG engine when this estimate exceeds
     DENSE_MAX_BYTES, so a too-big S/grid falls back instead of OOMing
     (VERDICT r2 task 5).
     """
-    pt_idx = np.asarray(problem.pt_idx)
-    L = problem.points.shape[0]
-    K = max(int(np.bincount(pt_idx, minlength=L).max()), 1)
+    slot_work, L, K = _auto_slot_work(problem)
     C = problem.camera_params.shape[0]
-    return 250.0 * L * K + 8.0 * (6 * C) ** 2
+    return 234.0 * slot_work + 16.0 * L * K + 8.0 * (6 * C) ** 2
 
 
 def group_by_landmark(problem, segments=1, max_segments=4):

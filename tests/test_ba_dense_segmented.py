@@ -174,3 +174,19 @@ def test_sharded_entry_flattens_segmented_grid():
     assert abs(float(res_seg.cost) - float(res_ref.cost)) < 1e5 * f.eps * max(
         1.0, float(res_ref.cost)
     )
+
+
+def test_segmented_routing_rescues_large_hub():
+    """A hub incidence whose single-K padding factor exceeds the dense
+    bound routes dense once segmentation applies (L >= 1024): the hub only
+    inflates its own one-row segment (ba.select_engine, r5)."""
+    from test_ba_dense import make_hub_ba
+
+    hub = make_hub_ba(C=25, L=2000)
+    assert ba_dense.padding_factor(hub) > ba.DENSE_MAX_PADDING
+    assert ba_dense.dense_slot_factor(hub) < 1.5
+    assert ba.select_engine(hub) == "dense"
+
+    # below the auto-policy L threshold the historical routing holds
+    small_hub = make_hub_ba(C=25, L=500)
+    assert ba.select_engine(small_hub) == "cg"
