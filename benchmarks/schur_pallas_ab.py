@@ -50,10 +50,14 @@ def _syrk_kernel(a2_ref, o_ref):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     a2 = a2_ref[:]  # (3·CB, 6C) bf16
+    # precision pinned to DEFAULT: the library-wide jax_default_matmul_
+    # precision=highest otherwise leaks into the kernel trace and makes
+    # Mosaic demand an fp32 contract on bf16 operands ("Bad lhs type")
     o_ref[:] += jax.lax.dot_general(
         a2, a2,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
