@@ -553,9 +553,10 @@ def solve_ba(problem, config=BAConfig(), host_loop=False, engine="cg"):
       "cg"    — matrix-free Schur preconditioned CG (this module).
       "dense" — explicit-Schur MXU engine (ba_dense.solve_ba_dense).
       "auto"  — route on problem shape: dense while C ≤ DENSE_MAX_CAMERAS,
-                the landmark-grid padding factor (L·K)/O ≤
-                DENSE_MAX_PADDING (hub landmarks inflate the dense grid —
-                ba_dense.padding_factor), and the estimated peak HBM
+                the SEGMENTED landmark-grid slot factor ≤
+                DENSE_MAX_PADDING (ba_dense.dense_slot_factor — under the
+                valence-segmented default a hub landmark only inflates
+                its own segment), and the estimated peak HBM
                 (ba_dense.dense_memory_bytes) ≤ DENSE_MAX_BYTES (OOM
                 guard); else CG.
 

@@ -22,13 +22,17 @@ from the hot path:
 
 Cost model: the S build is 2·(6C)²·(3L)/2 FLOPs of pure f32 matmul — at
 C=200, L=50k that is ~0.4 TFLOP-scale work the MXU eats in ms — plus
-O(L·K) element streams. Memory is O(L·K + chunk·C·18 + (6C)²); the (6C)²
-camera system factorizes in ~120 ms even at C = 3000 (XLA expander at ~17
-f32 TFLOP/s, benchmarks/cholesky_ab.py), so the engine's camera ceiling is
-HBM capacity for S (~1.3 GB at C = 3000), not solve time. When landmark
-valence is extremely skewed (padding factor L·K/O large) fall back to
-ba.solve_ba's matrix-free CG — `engine="auto"` routes on both
-(ba.select_engine).
+O(Σ L_s·K_s) element streams over the valence-segmented grid (r5: rows
+sorted by observation count and processed in 2-4 width segments, so the
+Poisson-valence padding tax of the single-K grid — ~60% of slots at the
+headline shape — is not streamed; see GroupedBA). Memory is
+O(L·K + chunk·C·18 + (6C)²); the (6C)² camera system factorizes in
+~120 ms even at C = 3000 (XLA expander at ~17 f32 TFLOP/s,
+benchmarks/cholesky_ab.py), so the engine's camera ceiling is HBM
+capacity for S (~1.3 GB at C = 3000), not solve time. When landmark
+valence is extremely skewed even segmentation can't absorb it below the
+routing bound — `engine="auto"` falls back to ba.solve_ba's matrix-free
+CG (ba.select_engine, routing on dense_slot_factor).
 
 Same problem type (ba.BAProblem), same LM schedule (reference
 src/levenberg_marquadt_dyn.cpp:34-119 λ/ν/ρ rules via ba._lm_trials), same
@@ -951,12 +955,16 @@ def _solve_dense_host(problem, grouped, config):
         return jnp.asarray(col, dtype)
 
     trace = {k: _column(k) for k in ("cost", "cost_new", "rho", "lam")}
+    # the final cost MUST run under jit: eagerly, _cam_onehot materializes
+    # the (L, K, C) one-hot per primitive — 43 GB at the C=2000 ceiling
+    # (RESOURCE_EXHAUSTED, measured r5) — while jitted XLA fuses the
+    # iota-compare into the consuming einsum and never stores it
     return ba.BAResult(
         camera_params=problem.camera_params,
         points=problem.points,
         status=status,
         iterations=jnp.asarray(executed, jnp.int32),
-        cost=_cost_grouped(
+        cost=jax.jit(_cost_grouped)(
             problem.camera_params, grouped.sort_points(problem.points),
             problem.intrinsics, grouped,
         ),
