@@ -60,6 +60,14 @@ def main():
     print(f"final cost: {float(res.cost):.3f}  status = {Status(int(res.status)).name}")
     print(f"landmark ATE vs ground truth: {float(ate_rmse(res.points, gt_points)):.5f}")
 
+    # At production scale prefer engine="auto": it routes to the dense-Schur
+    # MXU engine (explicit S + one Cholesky, valence-segmented observation
+    # grid — 106 outer-iters/s at O=500k, C=200, L=50k on one v5e chip;
+    # docs/PERF.md) while camera count / grid shape / HBM allow, and falls
+    # back to the matrix-free Schur-CG engine past those bounds:
+    res_auto = ba.solve_ba(start, ba.BAConfig(max_iterations=30), engine="auto")
+    print(f"engine='auto' final cost: {float(res_auto.cost):.3f}")
+
 
 if __name__ == "__main__":
     main()
