@@ -127,7 +127,11 @@ def _plan_segments(counts_sorted_desc, max_segments):
 
     Candidate boundaries are the rows where the sorted valence drops, so
     the search space is ≤ K_max points; brute force over ≤ (max_segments−1)
-    of them is exact and cheap (K_max is tens)."""
+    of them is exact for the usual tens of distinct valences. For
+    extreme-valence problems (a hub row can make K_max thousands) the
+    candidate set is subsampled to keep the search O(40³) — the plan is
+    then near-optimal rather than exact, which only costs a few % of the
+    trimmed slot work."""
     from itertools import combinations
 
     s = counts_sorted_desc
@@ -135,6 +139,9 @@ def _plan_segments(counts_sorted_desc, max_segments):
     # first row at which the count drops to each value
     cand = sorted({int(np.searchsorted(-s, -k)) for k in range(int(s[0]), 0, -1)})
     cand = [c for c in cand if 0 < c < L]
+    if len(cand) > 40:
+        step = len(cand) / 40.0
+        cand = sorted({cand[int(i * step)] for i in range(40)})
 
     def cost(bounds):
         tot, prev = 0, 0

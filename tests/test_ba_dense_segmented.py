@@ -190,3 +190,21 @@ def test_segmented_routing_rescues_large_hub():
     # below the auto-policy L threshold the historical routing holds
     small_hub = make_hub_ba(C=25, L=500)
     assert ba.select_engine(small_hub) == "cg"
+
+
+def test_plan_segments_mega_hub_fast_and_effective():
+    """Thousands of distinct valences (a mega-hub) must not blow up the
+    boundary search (candidates are subsampled) and the plan must still
+    crush the padding: one 5000-valence row in a Poisson(5) field."""
+    import time
+
+    rng = np.random.default_rng(0)
+    counts = np.sort(
+        np.concatenate([[5000, 3000, 800], rng.poisson(5, 100_000)])
+    )[::-1]
+    t0 = time.perf_counter()
+    bounds, cost = ba_dense._plan_segments(counts, 4)
+    assert time.perf_counter() - t0 < 5.0
+    full = len(counts) * int(counts[0])
+    assert cost < 0.01 * full
+    assert bounds[-1][0] == len(counts)
