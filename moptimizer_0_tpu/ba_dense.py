@@ -136,9 +136,10 @@ def _plan_segments(counts_sorted_desc, max_segments):
 
     s = counts_sorted_desc
     L = len(s)
-    # first row at which the count drops to each value
-    cand = sorted({int(np.searchsorted(-s, -k)) for k in range(int(s[0]), 0, -1)})
-    cand = [c for c in cand if 0 < c < L]
+    # rows where the sorted valence drops — the only useful boundaries —
+    # in one O(L) pass (a per-valence searchsorted loop was O(K_max·L):
+    # 39 s measured at K_max=L=200k)
+    cand = (np.flatnonzero(np.diff(s) != 0) + 1).tolist()
     if len(cand) > 40:
         step = len(cand) / 40.0
         cand = sorted({cand[int(i * step)] for i in range(40)})
@@ -184,23 +185,48 @@ def padding_factor(problem):
     return L * K / O
 
 
+# the segments="auto" policy constants — ONE place; both the routing
+# estimators (_auto_slot_work) and the layout builder (group_by_landmark)
+# go through _auto_plan so they can never diverge
+_AUTO_MIN_L = 1024
+_AUTO_KEEP_FRACTION = 0.85
+
+
+def _auto_plan(counts, segments, max_segments):
+    """Shared segmentation policy (host-side).
+
+    Returns (perm, seg_bounds, slot_work): perm/seg_bounds are None/()
+    when the policy keeps the single-K layout, and slot_work is the
+    Σ L_s·K_s the chosen layout streams (L·K for single-K)."""
+    L = len(counts)
+    K = max(int(counts.max()), 1) if L else 1
+    full = L * K
+    if segments == "auto":
+        max_seg = max_segments if L >= _AUTO_MIN_L else 1
+    else:
+        max_seg = int(segments)
+    if max_seg <= 1:
+        return None, (), full
+    perm = np.argsort(-counts, kind="stable").astype(np.int32)
+    bounds, cost = _plan_segments(counts[perm], max_seg)
+    if len(bounds) < 2 or (
+        segments == "auto" and cost > _AUTO_KEEP_FRACTION * full
+    ):
+        return None, (), full
+    return perm, bounds, cost
+
+
 def _auto_slot_work(problem, max_segments=4):
     """(slot_work, L, K) under the segments="auto" policy solve_ba_dense
     applies: the Σ L_s·K_s the valence-segmented grid actually streams, or
     L·K when the policy keeps the single-K layout (host-side, one bincount
-    + a tiny boundary search)."""
+    + an O(L) boundary search)."""
     pt_idx = np.asarray(problem.pt_idx)
     L = problem.points.shape[0]
     counts = np.bincount(pt_idx, minlength=L)
     K = max(int(counts.max()), 1)
-    full = L * K
-    if L < 1024:
-        return full, L, K
-    srt = counts[np.argsort(-counts, kind="stable")]
-    bounds, cost = _plan_segments(srt, max_segments)
-    if len(bounds) < 2 or cost > 0.85 * full:
-        return full, L, K
-    return cost, L, K
+    _, _, slot_work = _auto_plan(counts, "auto", max_segments)
+    return slot_work, L, K
 
 
 def dense_slot_factor(problem):
@@ -264,21 +290,7 @@ def group_by_landmark(problem, segments=1, max_segments=4):
     counts = np.bincount(pt_idx, minlength=L)
     K = max(int(counts.max()), 1)
 
-    seg_bounds = ()
-    perm = None
-    if segments == "auto":
-        max_seg = max_segments if L >= 1024 else 1
-    else:
-        max_seg = int(segments)
-    if max_seg > 1:
-        perm = np.argsort(-counts, kind="stable").astype(np.int32)
-        srt = counts[perm]
-        seg_bounds, seg_cost = _plan_segments(srt, max_seg)
-        full = L * K
-        if len(seg_bounds) < 2 or (
-            segments == "auto" and seg_cost > 0.85 * full
-        ):
-            seg_bounds, perm = (), None
+    perm, seg_bounds, _ = _auto_plan(counts, segments, max_segments)
 
     # row of each landmark in the grid
     row_of = np.arange(L, dtype=np.int64)
@@ -622,6 +634,12 @@ def _build_schur(U_d, Vinv_chol, W, grouped, fixed_mask, chunk=512, axis_name=No
 
     segs = _seg_views(grouped)
     W_segs = W if isinstance(W, (list, tuple)) else [W]
+    if len(W_segs) != len(segs):
+        raise ValueError(
+            f"W has {len(W_segs)} segment grids but the grouped layout has "
+            f"{len(segs)} segments — pass the W list from "
+            "_linearize_and_blocks for a valence-segmented grid"
+        )
 
     S0 = jnp.zeros((C * 6, C * 6), dtype)
     if axis_name is not None:
@@ -711,6 +729,12 @@ def _solve_delta_dense(grouped, C, U, V, W, g, h, lam, fixed_mask, chunk,
 
     segs = _seg_views(grouped)
     W_segs = W if isinstance(W, (list, tuple)) else [W]
+    if len(W_segs) != len(segs):
+        raise ValueError(
+            f"W has {len(W_segs)} segment grids but the grouped layout has "
+            f"{len(segs)} segments — pass the W list from "
+            "_linearize_and_blocks for a valence-segmented grid"
+        )
 
     # rhs = −(g − Σ_lk 1[cam=c] W_lk (V'⁻¹ h)_l), gauge rows zeroed
     t = jnp.sum(Vinv * h[:, None, :], axis=-1)  # (L,3)
@@ -944,16 +968,26 @@ def _solve_dense_host(problem, grouped, config):
     status = jnp.asarray(int(Status.MAXIMUM_ITERATIONS_REACHED), jnp.int32)
     records = []
     executed = 0
+    # landmark state stays in grid-row order across the whole host loop
+    # (sorted once here, unsorted once at the end) — driving ba_step_dense
+    # instead would pay its two O(L) sort/unsort gathers EVERY iteration,
+    # on exactly the very-large-problem path host_loop exists for
+    cams = problem.camera_params
+    pts = grouped.sort_points(problem.points)
+    step = jax.jit(_dense_outer_step, static_argnames=("n_fixed", "config"))
     for it in range(n_it):
-        cams, pts, lam, terminal, status, record = ba_step_dense(
-            problem, grouped, lam, config
+        cams, pts, lam, terminal, status, record = step(
+            cams, pts, problem.intrinsics, grouped, problem.loss,
+            problem.n_fixed_cameras, lam, config,
         )
-        problem = dataclasses.replace(problem, camera_params=cams, points=pts)
         records.append(record)
         if bool(terminal):
             executed = it  # reference: executed_iterations_ not bumped on return
             break
         executed = it + 1
+    problem = dataclasses.replace(
+        problem, camera_params=cams, points=grouped.unsort_points(pts)
+    )
 
     def _column(key):
         col = np.full((n_it,), np.nan, dtype=np.float64)
