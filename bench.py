@@ -196,7 +196,7 @@ def _make_ba_problem(O, C, L, jnp, dtype=np.float32, seed=0):
     )
 
 
-def _time_ba_outer_iter(jax, jnp, O=500_000, C=200, L=50_000):
+def _time_ba_outer_iter(jax, jnp, O=500_000, C=200, L=50_000, k1=1, k2=5):
     """Per-outer-iteration seconds of the dense-Schur BA engine.
 
     K chained ba_step_dense calls inside one jitted scan; two-point slope
@@ -237,7 +237,6 @@ def _time_ba_outer_iter(jax, jnp, O=500_000, C=200, L=50_000):
 
         return run_k
 
-    k1, k2 = 1, 5
     f1, f2 = make(k1), make(k2)
     np.asarray(f1(prob, grouped)[0])  # warm-up compile + execute
     np.asarray(f2(prob, grouped)[0])
@@ -365,7 +364,14 @@ def main():
     ba_vs_baseline = None
     if value is not None:
         try:
-            t_ba_tpu_small = _time_ba_outer_iter(jax, jnp, O=50_000, C=50, L=5_000)
+            # the small instance's sub-ms steps make a 4-step slope pure
+            # dispatch jitter through the tunnel (measured 489x vs 1074x
+            # across same-code runs); a 180-step delta puts ~100 ms of
+            # device work behind each measurement. The CPU leg keeps the
+            # short chain (87 ms/step is already far above local noise).
+            t_ba_tpu_small = _time_ba_outer_iter(
+                jax, jnp, O=50_000, C=50, L=5_000, k1=20, k2=200
+            )
             cpu = jax.devices("cpu")
             with jax.default_device(cpu[0]):
                 t_ba_cpu_small = _time_ba_outer_iter(
